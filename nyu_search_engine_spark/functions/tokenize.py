@@ -1,0 +1,92 @@
+"""Tokenizer (SURVEY.md §2.2 P2/P3, pinned spec §8.1).
+
+Reference locus: inverted-index/main:tokenizer (C++ worker threads,
+/root/reference/README.md:6). Spec: lowercase, tokens = maximal runs of
+[a-z0-9]+ (ASCII; everything else delimits), keep length 1..64, no
+stemming, no stopwords.
+
+Three interchangeable forms, golden-tested to agree:
+  * ``tokens_col``    — pure Catalyst column expression (codegen, JVM-side)
+  * ``tokenize_tf``   — Arrow-vectorized pandas UDF fusing tokenize + tf
+                        count (P2+A1): one shuffled row per (doc, term)
+                        instead of per token occurrence
+  * ``duckdb_tokens_cte`` — the DuckDB-SQL twin used by every oracle
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import TOKEN_MATCH_RE, TOKEN_MAX_LEN, TOKEN_MIN_LEN, TOKEN_SPLIT_RE
+
+_TOKEN_RE = re.compile(TOKEN_MATCH_RE)
+
+
+def tokenize_py(content: str) -> list[str]:
+    """Single-string tokenizer — the executable spec (tests, goldens)."""
+    return [
+        t
+        for t in _TOKEN_RE.findall(content.lower())
+        if TOKEN_MIN_LEN <= len(t) <= TOKEN_MAX_LEN
+    ]
+
+
+def tokens_col(content: Column) -> Column:
+    """Pure column-expression tokenizer: array<string> of kept tokens."""
+    return F.filter(
+        F.split(F.lower(content), TOKEN_SPLIT_RE),
+        lambda t: (F.length(t) >= TOKEN_MIN_LEN) & (F.length(t) <= TOKEN_MAX_LEN),
+    )
+
+
+_TF_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("doclen", T.IntegerType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_TF_SCHEMA)
+def tokenize_tf(content: pd.Series) -> pd.DataFrame:
+    """Fused tokenize + per-doc tf count (P2+A1), Arrow-vectorized.
+
+    Returns (terms sorted ascending, parallel tf array, doclen = total
+    kept tokens). Sorted terms make downstream per-partition merges a
+    pure streaming walk.
+    """
+    terms_out, tfs_out, dl_out = [], [], []
+    for c in content:
+        toks = tokenize_py(c if c is not None else "")
+        if toks:
+            arr, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            terms_out.append(arr.tolist())
+            tfs_out.append(counts.astype("int32").tolist())
+            dl_out.append(int(counts.sum()))
+        else:
+            terms_out.append([])
+            tfs_out.append([])
+            dl_out.append(0)
+    return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "doclen": dl_out})
+
+
+def duckdb_tokens_cte(doc_expr: str, content_expr: str, relation: str) -> str:
+    """DuckDB CTE body yielding (doc, term) one row per kept occurrence.
+
+    Semantics identical to ``tokenize_py``: regexp-split on non-[a-z0-9],
+    drop empties and over-long tokens.
+    """
+    return f"""
+        SELECT {doc_expr} AS doc, t.term AS term
+        FROM {relation},
+             unnest(regexp_split_to_array(lower({content_expr}), '[^a-z0-9]+'))
+               AS t(term)
+        WHERE t.term <> '' AND length(t.term) BETWEEN {TOKEN_MIN_LEN} AND {TOKEN_MAX_LEN}
+    """

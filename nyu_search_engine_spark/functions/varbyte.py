@@ -1,0 +1,93 @@
+"""Varbyte + delta-gap compression (SURVEY.md §2.8 F3/F4/F5, pinned §8.2).
+
+Reference locus: inverted-index/main:compress + query-processor/main:
+decompress (/root/reference/README.md:6-7). Convention: per uint64,
+little-endian 7-bit groups, least-significant group first, high bit =
+continuation (1 => more bytes follow). docIDs stored as ascending gaps
+(first value absolute); tf / doclen values stored raw.
+
+Both directions are numpy-vectorized over whole posting lists — the only
+Python-level loop is over the <=10 byte positions of a uint64, never over
+values (mandated no-per-row-Python, BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAX_VB_BYTES = 10  # ceil(64 / 7)
+
+
+def vb_encode(values: np.ndarray | list[int]) -> bytes:
+    """Varbyte-encode a sequence of non-negative ints (< 2**64)."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for j in range(1, _MAX_VB_BYTES):
+        nbytes += (arr >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for j in range(_MAX_VB_BYTES):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        grp = ((arr[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        grp |= (nbytes[mask] > j + 1).astype(np.uint8) << 7  # continuation bit
+        out[starts[mask] + j] = grp
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
+    """Inverse of ``vb_encode`` -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.nonzero(is_last)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # value index for every byte, then byte position within its value
+    val_idx = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    pos = np.arange(b.size, dtype=np.int64) - starts[val_idx]
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    np.add.at(vals, val_idx, contrib)
+    return vals
+
+
+def delta_encode(ascending: np.ndarray) -> np.ndarray:
+    """Strictly-ascending ints -> [first, gap, gap, ...]."""
+    arr = np.ascontiguousarray(ascending, dtype=np.uint64)
+    if arr.size == 0:
+        return arr
+    out = np.empty_like(arr)
+    out[0] = arr[0]
+    np.subtract(arr[1:], arr[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def vb_encode_docids(doc_ids: np.ndarray | list[int]) -> bytes:
+    return vb_encode(delta_encode(np.ascontiguousarray(doc_ids, dtype=np.uint64)))
+
+
+def vb_decode_docids(buf: bytes) -> np.ndarray:
+    return delta_decode(vb_decode(buf))
+
+
+# --- Spark-facing decoders (exhaustive query path) ---------------------------
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def vb_decode_docids_udf(payload: pd.Series) -> pd.Series:
+    return payload.map(lambda b: vb_decode_docids(b).astype(np.int64).tolist())
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def vb_decode_raw_udf(payload: pd.Series) -> pd.Series:
+    return payload.map(lambda b: vb_decode(b).astype(np.int64).tolist())
