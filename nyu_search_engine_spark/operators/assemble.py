@@ -1,0 +1,146 @@
+"""Posting-list assembly (SURVEY.md §2.4 A4/A5/A7 + §2.6 T1/T2).
+
+Reference locus: inverted-index/main:spiller+merger — memory-budgeted sorted
+temp runs, then a k-way heap merge producing per-term compressed lists
+(/root/reference/README.md:6). In Spark the spill-sort-merge is the
+sort-based shuffle itself: ``repartition(shard) + sortWithinPartitions
+(shard, term, doc_id)`` feeds this kernel one globally-grouped sorted
+stream per partition, and the kernel walks it emitting one compressed row
+per (shard, term).
+
+Skew (A7): the shard IS the salt. ``shard = doc_id // SHARD_SIZE`` bounds
+every (shard, term) group at SHARD_SIZE postings, so a stopword-grade hot
+term can never concentrate on one reducer no matter the corpus size; the
+"post-merge" is the lexicon aggregation (tiny rows) plus the query-time
+per-shard fan-out. No collect_list anywhere — the walk streams Arrow
+batches with a carry buffer.
+
+Block-max (A5): per 128-posting block we store last_doc_id, byte offsets
+into the three varbyte payloads (each block restarts delta encoding, so
+blocks decode independently == skip pointers), and the block's max
+*idf-free* BM25 factor ``max_tfn`` (idf is a per-term constant, applied at
+query time from the global lexicon — this is what makes per-shard build
+independent of global df). max_tfn is rounded UP to float32 so the bound
+stays admissible for WAND pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..constants import BLOCK_SIZE
+from ..functions.bm25 import tf_part_np
+from ..functions.varbyte import delta_encode, vb_encode
+
+POSTINGS_SCHEMA = (
+    "shard int, term string, df int, cf long, max_tfn float, "
+    "doc_ids_vb binary, tfs_vb binary, doclens_vb binary, "
+    "blocks array<struct<last_doc_id: long, max_tfn: float, "
+    "off_ids: int, off_tfs: int, off_dls: int>>"
+)
+
+
+def f32_ceil(arr: np.ndarray) -> np.ndarray:
+    """float64 -> float32 rounded toward +inf (admissible upper bounds)."""
+    f32 = arr.astype(np.float32)
+    low = f32.astype(np.float64) < arr
+    f32[low] = np.nextafter(f32[low], np.float32(np.inf))
+    return f32
+
+
+def encode_term_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray, avgdl: float
+) -> dict:
+    """One (shard, term) group -> one compressed postings row (dict)."""
+    n = doc_ids.size
+    tfn = tf_part_np(tfs, doclens, avgdl)
+    ids_parts: list[bytes] = []
+    tfs_parts: list[bytes] = []
+    dls_parts: list[bytes] = []
+    blocks = []
+    off_i = off_t = off_d = 0
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        b_ids = vb_encode(delta_encode(doc_ids[s:e]))
+        b_tfs = vb_encode(tfs[s:e])
+        b_dls = vb_encode(doclens[s:e])
+        m32 = float(f32_ceil(np.array([tfn[s:e].max()]))[0])
+        blocks.append(
+            {
+                "last_doc_id": int(doc_ids[e - 1]),
+                "max_tfn": m32,
+                "off_ids": off_i,
+                "off_tfs": off_t,
+                "off_dls": off_d,
+            }
+        )
+        ids_parts.append(b_ids)
+        tfs_parts.append(b_tfs)
+        dls_parts.append(b_dls)
+        off_i += len(b_ids)
+        off_t += len(b_tfs)
+        off_d += len(b_dls)
+    return {
+        "df": int(n),
+        "cf": int(tfs.sum()),
+        "max_tfn": max(b["max_tfn"] for b in blocks),
+        "doc_ids_vb": b"".join(ids_parts),
+        "tfs_vb": b"".join(tfs_parts),
+        "doclens_vb": b"".join(dls_parts),
+        "blocks": blocks,
+    }
+
+
+def assemble_postings(avgdl: float):
+    """mapInPandas factory: sorted (shard, term, doc_id, tf, doclen)
+    partition stream -> one row per (shard, term)."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            shard = pdf["shard"].to_numpy()
+            term = pdf["term"].to_numpy()
+            # boundaries where (shard, term) changes
+            chg = np.nonzero((shard[1:] != shard[:-1]) | (term[1:] != term[:-1]))[0] + 1
+            if chg.size == 0:  # whole batch is one (possibly partial) group
+                carry = pdf
+                continue
+            last_start = int(chg[-1])
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            yield _emit_groups(pdf.iloc[:last_start], avgdl)
+        if carry is not None and len(carry):
+            yield _emit_groups(carry, avgdl)
+
+    return walk
+
+
+def _emit_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    shard = pdf["shard"].to_numpy()
+    term = pdf["term"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["doclen"].to_numpy(dtype=np.int64)
+    starts = np.concatenate(
+        ([0], np.nonzero((shard[1:] != shard[:-1]) | (term[1:] != term[:-1]))[0] + 1)
+    )
+    ends = np.concatenate((starts[1:], [len(pdf)]))
+    rows = []
+    for s, e in zip(starts, ends):
+        row = encode_term_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl)
+        row["shard"] = int(shard[s])
+        row["term"] = term[s]
+        rows.append(row)
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "shard", "term", "df", "cf", "max_tfn",
+            "doc_ids_vb", "tfs_vb", "doclens_vb", "blocks",
+        ],
+    )

@@ -1,0 +1,71 @@
+"""Dense docID assignment (SURVEY.md §2.4 A6).
+
+Reference locus: inverted-index/main:parser assigns docID++ in sequential
+parse order (/root/reference/README.md:6). A distributed engine has no
+"parse order", so the pinned total order (§8.4) is ascending
+(repo, path, commit) bytes — unique by construction.
+
+Scalable two-pass plan (no single-partition window, no collect of data):
+  1. repartitionByRange(sort_keys) + sortWithinPartitions  -> global order
+     split across P range-ordered partitions            [the only shuffle]
+  2. per-partition row counts -> driver prefix-sum (P integers)
+  3. mapInPandas adds partition base offset + running position
+
+The result is partitioning-invariant: doc_id == global rank in the total
+order no matter where the range boundaries fall (local[1] == local[32]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DOC_SORT_KEYS
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    sort_keys: tuple[str, ...] = DOC_SORT_KEYS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense ``doc_id`` column: 0..N-1 by ascending sort_keys."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(p, *sort_keys)
+        .sortWithinPartitions(*sort_keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    try:
+        counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in range(max(counts, default=-1) + 1):
+            offsets[pid] = acc
+            acc += counts.get(pid, 0)
+
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + ", doc_id long"
+        cols = [f.name for f in df.schema.fields]
+
+        def add_ids(batches):
+            pos = -1
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if pos < 0:
+                    pos = offsets[int(pdf["_pid"].iloc[0])]
+                ids = np.arange(pos, pos + len(pdf), dtype=np.int64)
+                pos += len(pdf)
+                yield pdf[cols].assign(doc_id=ids)
+
+        out = ranged.mapInPandas(add_ids, schema=out_schema)
+        # materialization happens downstream; caller unpersists via the
+        # returned frame's lineage once the docs table is written
+        return out
+    except Exception:
+        ranged.unpersist()
+        raise

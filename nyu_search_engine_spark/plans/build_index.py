@@ -1,0 +1,217 @@
+"""Index build (SURVEY.md §3.1, entry point 1).
+
+Reference trace (inverted-index/main, /root/reference/README.md:6): parse
+.trec -> multithreaded tokenize -> memory-budgeted sorted temp runs ->
+k-way heap merge -> compressed index + lexicon + doc table. Spark-first
+re-expression:
+
+  scan (Parquet/Iceberg, columnar)
+   -> assign_doc_ids                       [SHUFFLE 1: range by (repo,path,commit)]
+   -> tokenize_tf Arrow UDF (+ sha256)     [one JVM->Python pass, cached]
+   -> docs + stats tables
+   -> explode -> repartition("shard")      [SHUFFLE 2 == the temp-file merge:
+      + sortWithinPartitions(shard,term,doc_id)   sort-based shuffle spills
+      -> assemble_postings mapInPandas           and merges sorted runs]
+   -> postings table, written per contiguous shard GROUP (checkpoint unit)
+   -> lexicon (tiny agg over assembled rows)     [SHUFFLE 3, rows ~ vocab]
+
+Resumability (north_rule): each shard group is an idempotent job writing
+postings/group=g plus a manifest row; a rerun skips groups already marked
+ok and bumps `attempt` on the ones it redoes. Because docID assignment and
+tokenization are deterministic and partitioning-invariant, a resumed build
+is byte-identical to a clean one (test_resume).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..constants import (
+    DEFAULT_SHARD_SIZE,
+    DOCS_DIR,
+    LEXICON_DIR,
+    MANIFEST_DIR,
+    POSTINGS_DIR,
+    STATS_DIR,
+)
+from ..functions.tokenize import tokenize_tf
+from ..operators.assemble import POSTINGS_SCHEMA, assemble_postings
+from ..operators.docids import assign_doc_ids
+from ..sources.index_io import table_path
+
+MANIFEST_SCHEMA = (
+    "group int, status string, n_terms long, n_postings long, "
+    "bytes_out long, wall_ms long, attempt int"
+)
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out: str,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    n_groups: int = 4,
+    resume: bool = True,
+) -> dict:
+    """Build the full index under ``out``. Returns build metrics."""
+    t0 = time.time()
+    metrics: dict = {"shard_size": shard_size, "n_groups": n_groups}
+
+    docs_path = table_path(out, DOCS_DIR)
+    stats_path = table_path(out, STATS_DIR)
+    manifest_path = table_path(out, MANIFEST_DIR)
+    lexicon_path = table_path(out, LEXICON_DIR)
+
+    # --- docs + stats stage (checkpoint: _SUCCESS markers) -------------------
+    tokenized = (
+        assign_doc_ids(corpus)
+        .select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            tokenize_tf("content").alias("tk"),
+        )
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "sha256",
+            F.col("tk.terms").alias("terms"),
+            F.col("tk.tfs").alias("tfs"),
+            F.col("tk.doclen").alias("doclen"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t_docs = time.time()
+    if not (resume and _exists(docs_path) and _exists(stats_path)):
+        tokenized.select(
+            "doc_id", "repo", "path", "commit", "lang", "doclen", "sha256"
+        ).write.mode("overwrite").parquet(docs_path)
+        stats = tokenized.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+        )
+        stats.write.mode("overwrite").parquet(stats_path)
+    row = spark.read.parquet(stats_path).first()
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+    metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
+    metrics["docs_stage_s"] = time.time() - t_docs
+
+    # --- postings stage, one idempotent job per contiguous shard group -------
+    n_shards = max(1, math.ceil(n_docs / shard_size))
+    shards_per_group = math.ceil(n_shards / n_groups)
+    done = _completed_groups(spark, manifest_path) if resume else set()
+    attempts = _attempt_counts(spark, manifest_path)
+
+    src = tokenized.select(
+        "doc_id",
+        (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+        "doclen",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+    ).select(
+        "doc_id", "shard", "doclen",
+        F.col("p.terms").alias("term"),
+        F.col("p.tfs").cast("long").alias("tf"),
+    )
+
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for g in range(n_groups):
+        if g in done:
+            continue
+        tg = time.time()
+        lo, hi = g * shards_per_group, (g + 1) * shards_per_group
+        part = (
+            src.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
+            .repartition(max(1, shuffle_p // n_groups), "shard")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .mapInPandas(assemble_postings(avgdl), POSTINGS_SCHEMA)
+        )
+        gpath = os.path.join(table_path(out, POSTINGS_DIR), f"group={g}")
+        part.write.mode("overwrite").parquet(gpath)
+        grp = spark.read.parquet(gpath).agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            (
+                F.sum(F.octet_length("doc_ids_vb"))
+                + F.sum(F.octet_length("tfs_vb"))
+                + F.sum(F.octet_length("doclens_vb"))
+            ).alias("bytes_out"),
+        ).first()
+        mrow = [
+            (
+                g, "ok",
+                int(grp["n_terms"] or 0),
+                int(grp["n_postings"] or 0),
+                int(grp["bytes_out"] or 0),
+                int((time.time() - tg) * 1000),
+                attempts.get(g, 0) + 1,
+            )
+        ]
+        spark.createDataFrame(mrow, MANIFEST_SCHEMA).write.mode("append").parquet(
+            manifest_path
+        )
+
+    tokenized.unpersist()
+
+    # --- lexicon: global per-term stats (the skew "post-merge" — tiny rows) --
+    t_lex = time.time()
+    postings = spark.read.option("basePath", table_path(out, POSTINGS_DIR)).parquet(
+        table_path(out, POSTINGS_DIR)
+    )
+    lex = postings.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.count("*").alias("n_slices"),
+        F.max("max_tfn").alias("max_tfn"),
+    )
+    lex.write.mode("overwrite").parquet(lexicon_path)
+    metrics["lexicon_stage_s"] = time.time() - t_lex
+
+    # --- build metrics (north_rule: postings/sec, bytes compressed, skew) ----
+    man = spark.read.parquet(manifest_path)
+    agg = man.filter(F.col("status") == "ok").agg(
+        F.sum("n_postings").alias("p"), F.sum("bytes_out").alias("b")
+    ).first()
+    metrics["n_postings"] = int(agg["p"] or 0)
+    metrics["bytes_out"] = int(agg["b"] or 0)
+    metrics["n_shards"] = n_shards
+    metrics["wall_s"] = time.time() - t0
+    metrics["docs_per_sec"] = n_docs / metrics["wall_s"]
+    metrics["postings_per_sec"] = metrics["n_postings"] / metrics["wall_s"]
+    # raw posting = (doc_id, tf, doclen) int64 triple
+    metrics["bytes_in_raw_postings"] = metrics["n_postings"] * 24
+    metrics["compression_ratio"] = (
+        metrics["bytes_out"] / metrics["bytes_in_raw_postings"]
+        if metrics["n_postings"]
+        else 0.0
+    )
+    with open(os.path.join(out, "index_meta.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return metrics
+
+
+def _completed_groups(spark: SparkSession, manifest_path: str) -> set[int]:
+    if not os.path.exists(manifest_path):
+        return set()
+    man = spark.read.parquet(manifest_path)
+    return {
+        r["group"] for r in man.filter(F.col("status") == "ok").select("group").collect()
+    }
+
+
+def _attempt_counts(spark: SparkSession, manifest_path: str) -> dict[int, int]:
+    if not os.path.exists(manifest_path):
+        return {}
+    man = spark.read.parquet(manifest_path)
+    return {
+        r["group"]: r["a"]
+        for r in man.groupBy("group").agg(F.max("attempt").alias("a")).collect()
+    }

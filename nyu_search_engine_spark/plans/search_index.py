@@ -1,0 +1,182 @@
+"""Index-backed query engine (SURVEY.md §3.2, entry point 2).
+
+Reference trace (query-processor/main, /root/reference/README.md:7):
+load lexicon + doc table -> per query: lexicon probe (OOV: AND->empty,
+OR->skip) -> open posting lists rarest-first -> DAAT + block-max WAND ->
+BM25 size-k heap -> decorate with the doc table.
+
+Spark-first lifecycle:
+ 1. plan: probe the lexicon with term IN (...) — Catalyst pushes the IN
+    into the Parquet scan; the collected slice (k rows) rides the closure.
+ 2. prune: postings scan with term IN (...) — predicate pushdown + files
+    sorted by (shard, term) give row-group skipping; only the query terms'
+    bytes are read (the Spark analogue of lexicon-directed seeks).
+ 3a. exhaustive path: vb-decode UDFs -> explode -> column-expression BM25
+     -> hash agg with a deterministic rarest-first fold -> TakeOrdered(k).
+ 3b. pruned path: groupBy(shard).applyInPandas(DAAT/BMW kernel) -> per-
+     shard top-k -> global TakeOrdered(k) over n_shards*k candidate rows.
+ 4. decorate: broadcast the tiny top-k against the (potentially 10^12-row)
+    docs table — BroadcastHashJoin with the SMALL side broadcast, so the
+    big side streams with doc_id min/max row-group skipping.
+
+Paths 3a and 3b are rank-identical by construction (pytest-enforced).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import idf_np, score_col
+from ..functions.varbyte import vb_decode_docids_udf, vb_decode_raw_udf
+from ..operators.daat import TermSlice, shard_topk_and, shard_topk_or
+from ..sources import index_io
+from .search import Query
+
+
+class IndexSearcher:
+    """Loads an index built by ``build_index`` and answers queries."""
+
+    def __init__(self, spark: SparkSession, index_root: str) -> None:
+        self.spark = spark
+        self.index_root = index_root
+        self.postings = index_io.read_postings(spark, index_root)
+        self.lexicon = index_io.read_lexicon(spark, index_root)
+        self.docs = index_io.read_docs(spark, index_root)
+        stats = index_io.read_stats(spark, index_root)
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+
+    # --- planning (P4 lexicon probe + T4 rarest-first) -----------------------
+
+    def plan_terms(self, query: Query) -> list[tuple[str, int, float]]:
+        """[(term, global_df, idf)] rarest-first; OOV terms dropped."""
+        terms = list(dict.fromkeys(query.terms))
+        if not terms:
+            return []
+        rows = (
+            self.lexicon.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        meta = sorted(
+            ((r["term"], int(r["df"])) for r in rows), key=lambda x: (x[1], x[0])
+        )
+        return [(t, df, idf_np(df, self.n_docs)) for t, df in meta]
+
+    # --- public API -----------------------------------------------------------
+
+    def search(self, query: Query, method: str = "pruned",
+               decorate: bool = True) -> DataFrame:
+        planned = self.plan_terms(query)
+        n_query_terms = len(set(query.terms))
+        if not planned or (query.mode == "AND" and len(planned) < n_query_terms):
+            return self._empty(decorate)
+        if method == "exhaustive":
+            topk = self._exhaustive(planned, query)
+        elif method == "pruned":
+            topk = self._pruned(planned, query)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        return self._decorate(topk) if decorate else topk
+
+    # --- path 3a: exhaustive decode + hash agg --------------------------------
+
+    def _exhaustive(self, planned, query: Query) -> DataFrame:
+        terms = [t for t, _, _ in planned]
+        meta = self.spark.createDataFrame(
+            [(t, df) for t, df, _ in planned], "term string, df long"
+        )
+        rows = self.postings.filter(F.col("term").isin(terms)).select(
+            "term",
+            vb_decode_docids_udf("doc_ids_vb").alias("ids"),
+            vb_decode_raw_udf("tfs_vb").alias("tfs"),
+            vb_decode_raw_udf("doclens_vb").alias("dls"),
+        )
+        expl = rows.select(
+            "term", F.explode(F.arrays_zip("ids", "tfs", "dls")).alias("p")
+        ).select(
+            "term",
+            F.col("p.ids").alias("doc_id"),
+            F.col("p.tfs").alias("tf"),
+            F.col("p.dls").alias("doclen"),
+        )
+        scored = expl.join(F.broadcast(meta), "term").withColumn(
+            "partial",
+            score_col(F.col("tf"), F.col("doclen"), F.col("df"),
+                      self.n_docs, self.avgdl),
+        )
+        per_doc = scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_terms"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "term", "partial"))),
+                    lambda x: x["partial"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+        if query.mode == "AND":
+            per_doc = per_doc.filter(F.col("n_terms") == len(planned))
+        return self._rank(per_doc.select("doc_id", "score"), query.k)
+
+    # --- path 3b: per-shard DAAT/BMW kernel ------------------------------------
+
+    def _pruned(self, planned, query: Query) -> DataFrame:
+        terms = [t for t, _, _ in planned]
+        idf_by_term = {t: idf for t, _, idf in planned}
+        order = [t for t, _, _ in planned]  # already rarest-first
+        mode, k, avgdl = query.mode, query.k, self.avgdl
+        n_terms = len(order)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            present = {r["term"]: r for _, r in pdf.iterrows()}
+            if mode == "AND" and len(present) < n_terms:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            slices = [
+                (t, idf_by_term[t], TermSlice(present[t]))
+                for t in order
+                if t in present
+            ]
+            if not slices:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            fn = shard_topk_and if mode == "AND" else shard_topk_or
+            ids, scores = fn(slices, k, avgdl)
+            return pd.DataFrame({"doc_id": ids.astype("int64"),
+                                 "score": scores.astype("float64")})
+
+        cand = (
+            self.postings.filter(F.col("term").isin(terms))
+            .select("shard", "term", "max_tfn",
+                    "doc_ids_vb", "tfs_vb", "doclens_vb", "blocks")
+            .groupBy("shard")
+            .applyInPandas(kernel, "doc_id long, score double")
+        )
+        return self._rank(cand, query.k)
+
+    # --- shared tail ------------------------------------------------------------
+
+    def _rank(self, scored: DataFrame, k: int) -> DataFrame:
+        topk = scored.orderBy(F.desc("score"), "doc_id").limit(k)
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return topk.select(
+            F.row_number().over(w).alias("rank"), "doc_id", "score"
+        )
+
+    def _decorate(self, topk: DataFrame) -> DataFrame:
+        joined = self.docs.join(F.broadcast(topk), "doc_id")
+        return joined.select(
+            "rank", "doc_id", "score", "repo", "path", "commit"
+        ).orderBy("rank")
+
+    def _empty(self, decorate: bool) -> DataFrame:
+        schema = (
+            "rank int, doc_id long, score double, repo string, path string, commit string"
+            if decorate
+            else "rank int, doc_id long, score double"
+        )
+        return self.spark.createDataFrame([], schema)

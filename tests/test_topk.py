@@ -1,0 +1,77 @@
+"""Rank-identity of the three query paths (BASELINE.json north_rule:
+"matching the reference's top-k docIDs and BM25 scores (rank-identical)").
+
+pruned (BMW kernel) == exhaustive (decode+hash agg) == bruteforce (no
+index), exact float equality, over the FIXTURES.md §3 query-path matrix:
+single rare, tiny intersection, rare+hot, all-hot, OOV-AND, OOV-OR,
+unions, engineered ties, k in {1, 10, 100}."""
+
+import pytest
+
+from nyu_search_engine_spark.plans.search import Query, bruteforce_topk
+
+QUERIES = [
+    Query(("rareterm00",), "AND"),                       # q01 single-list
+    Query(("rareterm00", "rareterm01"), "AND"),          # q02 tiny intersection
+    Query(("rareterm02", "hotterm0"), "AND"),            # q03 rarest-first matters
+    Query(("hotterm0", "hotterm1", "hotterm2"), "AND"),  # q04 big intersection
+    Query(("rareterm00", "oovterm"), "AND"),             # q05 OOV -> empty
+    Query(("rareterm05", "rareterm06"), "OR"),           # q06 small union
+    Query(("hotterm0", "rareterm07"), "OR"),             # q07 asym. pruning
+    Query(("hotterm0", "hotterm1", "hotterm2", "hotterm3"), "OR"),  # q08 worst-case
+    Query(("rareterm08", "oovterm"), "OR"),              # q09 OOV skipped
+    Query(("def", "return", "class"), "OR"),             # q10 common terms / ties
+]
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _rows_keys(df):
+    return [
+        (r["rank"], r["repo"], r["path"], r["commit"], r["score"])
+        for r in df.collect()
+    ]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: f"{q.mode}-{'_'.join(q.terms)}")
+def test_pruned_equals_exhaustive(searcher, q):
+    ex = _rows(searcher.search(q, "exhaustive", decorate=False))
+    pr = _rows(searcher.search(q, "pruned", decorate=False))
+    assert pr == ex
+
+
+@pytest.mark.parametrize("q", [QUERIES[1], QUERIES[6], QUERIES[9]],
+                         ids=["and", "or", "ties"])
+def test_index_equals_bruteforce(searcher, corpus, q):
+    pr = _rows_keys(searcher.search(q, "pruned"))
+    bf = _rows_keys(bruteforce_topk(corpus, q))
+    assert pr == bf
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_k_boundaries(searcher, k):
+    q = Query(("hotterm0", "rareterm07"), "OR", k=k)
+    ex = _rows(searcher.search(q, "exhaustive", decorate=False))
+    pr = _rows(searcher.search(q, "pruned", decorate=False))
+    assert pr == ex
+    assert len(pr) <= k
+
+
+def test_tie_break_is_doc_id_asc(searcher):
+    """The 3 cloned docs (synth corpus tail) tie exactly; order by doc_id."""
+    q = Query(("hotterm0", "hotterm1"), "OR", k=300)
+    rows = _rows(searcher.search(q, "pruned", decorate=False))
+    by_score = {}
+    for _, doc_id, score in rows:
+        by_score.setdefault(score, []).append(doc_id)
+    multi = [v for v in by_score.values() if len(v) > 1]
+    assert multi, "expected at least one exact score tie from cloned docs"
+    for group in multi:
+        assert group == sorted(group)
+
+
+def test_oov_and_is_empty(searcher):
+    assert searcher.search(Query(("oovterm",), "AND"), "pruned").count() == 0
+    assert searcher.search(Query(("oovterm",), "OR"), "pruned").count() == 0
