@@ -1,0 +1,110 @@
+"""Headline benchmark (driver-run per round -> BENCH_r{N}.json).
+
+Measures the two north-rule metrics on local[$SPARK_GRAFT_CPUS]:
+  * index-build throughput (docs/sec, postings/sec) over the deterministic
+    synthetic corpus (FIXTURES.md §1) at SPARK_GRAFT_BENCH_DOCS docs
+  * warm-index query latency for the fixture query shapes, pruned
+    (block-max WAND) path, plus the exhaustive path for one query
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": ...,
+   "build": {...docs/sec, postings/sec, compression...}}
+
+Scaling-efficiency companion (local[8] vs local[32] on identical input):
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cores: int | None = None, n_docs: int | None = None,
+        quiet: bool = False) -> dict:
+    from nyu_search_engine_spark.plans.build_index import build_index
+    from nyu_search_engine_spark.plans.search import Query
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+    from nyu_search_engine_spark.session import get_spark
+    from nyu_search_engine_spark.synth import synth_corpus
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench", cores=cores)
+    out: dict = {"queries": {}}
+    idx_root = tempfile.mkdtemp(prefix="nyu_bench_idx_")
+    try:
+        # materialize the synthetic input first: datagen cost is not index
+        # throughput (a real corpus arrives as parquet)
+        corpus = synth_corpus(spark, n_docs).persist()
+        corpus.count()
+        t0 = time.time()
+        m = build_index(spark, corpus, idx_root, n_groups=4)
+        build_s = time.time() - t0
+        out["queries"]["index_build"] = round(build_s, 3)
+        out["build"] = {
+            "n_docs": m["n_docs"],
+            "n_postings": m["n_postings"],
+            "docs_per_sec": round(m["n_docs"] / build_s, 1),
+            "postings_per_sec": round(m["n_postings"] / build_s, 1),
+            "bytes_out": m["bytes_out"],
+            "compression_ratio": round(m["compression_ratio"], 4),
+            "n_shards": m["n_shards"],
+        }
+
+        searcher = IndexSearcher(spark, idx_root)
+        qset = {
+            "q_and_rare": Query(("rareterm00", "rareterm01"), "AND", 10),
+            "q_and_mixed": Query(("rareterm02", "hotterm0"), "AND", 10),
+            "q_and_hot": Query(("hotterm0", "hotterm1", "hotterm2"), "AND", 10),
+            "q_or_rare": Query(("rareterm05", "rareterm06"), "OR", 10),
+            "q_or_mixed": Query(("hotterm0", "rareterm07"), "OR", 10),
+            "q_or_hot": Query(("hotterm0", "hotterm1", "hotterm2", "hotterm3"), "OR", 10),
+            "q_or_common": Query(("def", "return", "class"), "OR", 10),
+        }
+        # warm-up (JIT, file listing, lexicon cache)
+        searcher.search(qset["q_and_rare"], "pruned", decorate=False).collect()
+        lat = []
+        for name, q in qset.items():
+            t = time.time()
+            searcher.search(q, "pruned", decorate=False).collect()
+            dt = time.time() - t
+            out["queries"][name] = round(dt, 3)
+            lat.append(dt)
+        t = time.time()
+        searcher.search(qset["q_or_mixed"], "exhaustive", decorate=False).collect()
+        out["queries"]["q_or_mixed_exhaustive"] = round(time.time() - t, 3)
+        lat_sorted = sorted(lat)
+        out["query_p95_s"] = round(lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 3)
+        out["query_mean_s"] = round(sum(lat) / len(lat), 3)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+        spark.stop()
+
+    out.update(
+        {
+            "metric": "index-build docs/sec + pruned BM25 query latency",
+            "value": round(sum(out["queries"].values()), 3),
+            "unit": "sec",
+            "sf": sf,
+            "cores": cores,
+            "bench_docs": n_docs,
+        }
+    )
+    if not quiet:
+        print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    run()

@@ -21,14 +21,20 @@ from pyspark.sql import types as T
 _MAX_VB_BYTES = 10  # ceil(64 / 7)
 
 
+def vb_nbytes(arr: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (vectorized)."""
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for j in range(1, _MAX_VB_BYTES):
+        nbytes += (arr >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    return nbytes
+
+
 def vb_encode(values: np.ndarray | list[int]) -> bytes:
     """Varbyte-encode a sequence of non-negative ints (< 2**64)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
         return b""
-    nbytes = np.ones(arr.size, dtype=np.int64)
-    for j in range(1, _MAX_VB_BYTES):
-        nbytes += (arr >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    nbytes = vb_nbytes(arr)
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     for j in range(_MAX_VB_BYTES):

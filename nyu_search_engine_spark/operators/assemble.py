@@ -33,7 +33,7 @@ import pandas as pd
 
 from ..constants import BLOCK_SIZE
 from ..functions.bm25 import tf_part_np
-from ..functions.varbyte import delta_encode, vb_encode
+from ..functions.varbyte import delta_encode, vb_encode, vb_nbytes
 
 POSTINGS_SCHEMA = (
     "shard int, term string, df int, cf long, max_tfn float, "
@@ -54,42 +54,51 @@ def f32_ceil(arr: np.ndarray) -> np.ndarray:
 def encode_term_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray, avgdl: float
 ) -> dict:
-    """One (shard, term) group -> one compressed postings row (dict)."""
+    """One (shard, term) group -> one compressed postings row (dict).
+
+    Fully vectorized: each payload is ONE vb_encode call; per-block delta
+    restart is expressed as "gap array with absolute values at block
+    starts", and block byte offsets come from the per-value byte-count
+    cumsum — identical bytes to encoding each block separately.
+    """
     n = doc_ids.size
+    ids_u = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs_u = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls_u = np.ascontiguousarray(doclens, dtype=np.uint64)
     tfn = tf_part_np(tfs, doclens, avgdl)
-    ids_parts: list[bytes] = []
-    tfs_parts: list[bytes] = []
-    dls_parts: list[bytes] = []
-    blocks = []
-    off_i = off_t = off_d = 0
-    for s in range(0, n, BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, n)
-        b_ids = vb_encode(delta_encode(doc_ids[s:e]))
-        b_tfs = vb_encode(tfs[s:e])
-        b_dls = vb_encode(doclens[s:e])
-        m32 = float(f32_ceil(np.array([tfn[s:e].max()]))[0])
-        blocks.append(
-            {
-                "last_doc_id": int(doc_ids[e - 1]),
-                "max_tfn": m32,
-                "off_ids": off_i,
-                "off_tfs": off_t,
-                "off_dls": off_d,
-            }
-        )
-        ids_parts.append(b_ids)
-        tfs_parts.append(b_tfs)
-        dls_parts.append(b_dls)
-        off_i += len(b_ids)
-        off_t += len(b_tfs)
-        off_d += len(b_dls)
+    starts = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+
+    gaps = delta_encode(ids_u)
+    gaps[starts] = ids_u[starts]  # delta restarts: block-first is absolute
+
+    def payload_and_offsets(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+        nb = vb_nbytes(vals)
+        off = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        return vb_encode(vals), off[starts]
+
+    ids_b, off_ids = payload_and_offsets(gaps)
+    tfs_b, off_tfs = payload_and_offsets(tfs_u)
+    dls_b, off_dls = payload_and_offsets(dls_u)
+    maxes = f32_ceil(np.maximum.reduceat(tfn, starts))
+    lasts = ids_u[ends - 1].astype(np.int64)
+    blocks = [
+        {
+            "last_doc_id": int(lasts[i]),
+            "max_tfn": float(maxes[i]),
+            "off_ids": int(off_ids[i]),
+            "off_tfs": int(off_tfs[i]),
+            "off_dls": int(off_dls[i]),
+        }
+        for i in range(starts.size)
+    ]
     return {
         "df": int(n),
-        "cf": int(tfs.sum()),
-        "max_tfn": max(b["max_tfn"] for b in blocks),
-        "doc_ids_vb": b"".join(ids_parts),
-        "tfs_vb": b"".join(tfs_parts),
-        "doclens_vb": b"".join(dls_parts),
+        "cf": int(tfs_u.sum()),
+        "max_tfn": float(maxes.max()),
+        "doc_ids_vb": ids_b,
+        "tfs_vb": tfs_b,
+        "doclens_vb": dls_b,
         "blocks": blocks,
     }
 

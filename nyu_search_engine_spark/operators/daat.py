@@ -187,11 +187,13 @@ def _score_segments(slices, seg_block, segs, seg_lo, seg_hi, avgdl):
             per_term.append((np.empty(0, dtype=np.int64), np.empty(0)))
             continue
         t_ids, t_tfs, t_dls = sl.decode_blocks(blocks)
-        # keep only postings inside the selected segments
+        # keep only postings inside the selected segments (decoded blocks
+        # may extend past the chunk's last segment — clip before indexing)
         lo_sorted = np.sort(seg_lo)
         hi_sorted = np.sort(seg_hi)
         seg_idx = np.searchsorted(hi_sorted, t_ids)
-        keep = (seg_idx < hi_sorted.size) & (t_ids >= lo_sorted[seg_idx])
+        safe_idx = np.minimum(seg_idx, hi_sorted.size - 1)
+        keep = (seg_idx < hi_sorted.size) & (t_ids >= lo_sorted[safe_idx])
         t_ids, t_tfs, t_dls = t_ids[keep], t_tfs[keep], t_dls[keep]
         per_term.append((t_ids, _partial(t_tfs, t_dls, idf, avgdl)))
         all_ids.append(t_ids)

@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference (babysuse/NYU_search-engine indexes everything);
+these are the standard corpus-hygiene operators a 100 TB ingest needs in
+front of the indexer. All are pure DataFrame compositions (JVM-side,
+codegen'd) — hashing uses md5/sha2 built-ins so every operator has an
+exact DuckDB oracle; nothing here crosses the Python boundary.
+
+Scale notes (10^12 rows):
+  * exact:    one groupBy(sha256) shuffle; AQE handles residual skew.
+  * minhash:  per-doc work only until the LSH band groupBy; band buckets
+    bound the candidate blow-up (classic Broder/Indyk MinHash-LSH).
+  * ngram-jaccard: the shingle self-join explodes on stop-shingles — use
+    it post-LSH (verify candidates), never corpus-wide; df-cap the
+    shingles (drop shingles in > max_df docs) to bound the join.
+  * simhash:  linear; the 60-bit key groupBy is a hash shuffle.
+  * embedding: exact pairwise is O(n^2) — keep for candidate verification;
+    use similarity.lsh buckets for the corpus-wide pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORD_SAFE_BITS = 60  # 15 hex chars of md5 -> fits BIGINT exactly
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, content_sha256, canonical_id, group_size) — exact duplicate
+    groups by content hash; canonical = min id."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(content_col), 256).alias("content_sha256")
+    )
+    groups = hashed.groupBy("content_sha256").agg(
+        F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return hashed.join(groups, "content_sha256").select(
+        "id", "content_sha256", "canonical_id", "group_size"
+    )
+
+
+def shingles(df: DataFrame, id_col: str, tokens_col_name: str, n: int) -> DataFrame:
+    """(id, shingle) — DISTINCT word n-gram shingles per doc, JVM-side."""
+    toks = F.col(tokens_col_name)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(id, sig array<string>) — MinHash over md5(perm || '|' || shingle).
+
+    String-min over hex md5 is a valid uniform permutation surrogate and
+    is engine-portable (identical in Spark and DuckDB). sig[i] is the
+    minimum under permutation i.
+    """
+    spark = sh.sparkSession
+    perms = spark.range(n_hashes).select(F.col("id").cast("int").alias("perm"))
+    hashed = sh.crossJoin(F.broadcast(perms)).select(
+        "id", "perm",
+        F.md5(F.concat_ws("|", F.col("perm").cast("string"), "shingle")).alias("h"),
+    )
+    return (
+        hashed.groupBy("id", "perm")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs sharing >= 1 LSH band."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, threshold: float, max_shingle_df: int | None = None
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
+
+    Exact; O(pairs sharing a shingle). max_shingle_df drops stop-shingles
+    to bound the self-join at scale (document the cap — it makes the
+    result a lower bound for pairs glued only by stop-shingles).
+    """
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(tf_df: DataFrame, bits: int = STOPWORD_SAFE_BITS) -> DataFrame:
+    """(id, simhash bigint) — tf-weighted SimHash over md5 term hashes.
+
+    Input: (id, term, tf). h(term) = first 15 hex chars of md5 as a 60-bit
+    int; bit j of the fingerprint is sign(sum tf * (2*bit_j(h) - 1)).
+    """
+    spark = tf_df.sparkSession
+    bit_ids = spark.range(bits).select(F.col("id").cast("int").alias("j"))
+    h = tf_df.select(
+        "id", "tf",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    weights = (
+        h.crossJoin(F.broadcast(bit_ids))
+        .select(
+            "id", "j",
+            (F.col("tf") * (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1)).alias("w"),
+        )
+        .groupBy("id", "j")
+        .agg(F.sum("w").alias("w"))
+    )
+    return weights.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, cosine) exact pairwise cosine >= threshold (double).
+
+    O(n^2) verification operator — at corpus scale run it only on LSH
+    bucket candidates (similarity.random_hyperplane_buckets)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

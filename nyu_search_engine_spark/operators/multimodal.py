@@ -1,0 +1,118 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
+UDF signatures) is real and tested; the actual codec work is STUBBED —
+this container ships no image/audio libraries — behind
+``_decode_image_impl``, which raises ``NotImplementedError`` unless
+``deterministic_fake=True`` is requested (the fake derives features from
+the payload bytes, so tests exercise the full distributed path end to end).
+
+Scale notes: payloads stay in executor memory exactly one Arrow batch at a
+time (mapInPandas iterator); never groupBy on payload columns; metadata
+extraction is pure column expressions so pruning works without touching
+payload bytes when the reader projects them out.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, feat array<float>"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
+
+
+def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """(id, n_bytes, header_hex, payload_sha256) — metadata without any
+    decode; pure column expressions over the binary column."""
+    b = F.col(bin_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(b).alias("n_bytes"),
+        F.hex(F.substring(b, 1, 4)).alias("header_hex"),
+        F.sha2(b, 256).alias("payload_sha256"),
+    )
+
+
+def _decode_image_impl(payload: bytes, deterministic_fake: bool) -> np.ndarray:
+    """STUB: real decode needs an image library not present in this
+    container. The fake is a deterministic 8-dim feature from the bytes."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library (not in this "
+            "container); pass deterministic_fake=True for the test path"
+        )
+    arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    pads = -arr.size % 8
+    arr = np.pad(arr, (0, pads))
+    return arr.reshape(8, -1).mean(axis=1) / 255.0
+
+
+def image_features(
+    df: DataFrame, id_col: str, bin_col: str, deterministic_fake: bool = False
+) -> DataFrame:
+    """Distributed feature extraction over binary payloads via mapInPandas
+    (one Arrow batch resident per task)."""
+    src = df.select(F.col(id_col).alias("media_id"), F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_impl(bytes(p), deterministic_fake).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feat": feats,
+                }
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, bin_col: str, every_n_bytes: int = 4096,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """STUB video frame sampler: emits one row per sampled 'frame'. The
+    real path would demux/decode; the fake slices the payload every
+    ``every_n_bytes`` so the one-to-many Arrow batch shape is exercised."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video demux requires a codec library (not in this container); "
+            "pass deterministic_fake=True for the test path"
+        )
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_sha = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                for i, s in enumerate(range(0, max(len(p), 1), every_n_bytes)):
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_sha.append(hashlib.sha256(p[s : s + every_n_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_sha256": out_sha}
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

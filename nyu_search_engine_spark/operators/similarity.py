@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (and the oracle for the
+approximate paths); random-hyperplane LSH bucketing is the scale path —
+bucket cardinality ~n/2^planes turns the O(n^2) scan into a bucket-local
+one. Dot products stay JVM-side (zip_with + aggregate fold, codegen'd);
+the batch variant broadcasts the (small) query side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(x):
+    return F.sqrt(_dot(x, x))
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to one query vector.
+    (rank, id, cosine) — ties broken by id ASC."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("id") != exclude_id)
+    topk = scored.orderBy(F.desc("cosine"), "id").limit(k)
+    w = Window.orderBy(F.desc("cosine"), "id")
+    return topk.select(F.row_number().over(w).alias("rank"), "id", "cosine")
+
+
+def cosine_topk_batch(
+    emb: DataFrame, id_col: str, vec_col: str,
+    queries: DataFrame, qid_col: str, qvec_col: str, k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query row (BroadcastNestedLoop over the
+    broadcast query side, then per-query window top-k).
+    (query_id, rank, id, cosine); self-matches excluded."""
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+              .withColumn("vnorm", _norm(F.col("v")))
+    scored = base.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("query_id")).select(
+        "query_id", "id",
+        (_dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for LSH signatures."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def random_hyperplane_buckets(
+    emb: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+) -> DataFrame:
+    """(id, v, bucket int) — sign-bit LSH bucket per row, JVM-side: the
+    planes become literal arrays; each sign bit is a zip_with fold."""
+    cols = []
+    for j, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(F.col(vec_col), lit) > 0).cast("long")
+        cols.append(bit * F.lit(int(2 ** j)))
+    bucket = cols[0]
+    for c in cols[1:]:
+        bucket = bucket + c
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float],
+    k: int, n_planes: int = 4, seed: int = 42, exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: scan only rows in the query's LSH bucket or at
+    Hamming distance 1 from it (multi-probe). Recall is tested against
+    ``cosine_topk`` (no SQL oracle — approximate by design)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = int(sum((planes[j] @ np.asarray(query_vec) > 0) << j for j in range(n_planes)))
+    probe = [qsig] + [qsig ^ (1 << j) for j in range(n_planes)]
+    bucketed = random_hyperplane_buckets(emb, id_col, vec_col, planes)
+    cand = bucketed.filter(F.col("bucket").isin(probe)).select("id", "v")
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    scored = cand.select(
+        "id",
+        (_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qnorm))).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("id") != exclude_id)
+    topk = scored.orderBy(F.desc("cosine"), "id").limit(k)
+    w = Window.orderBy(F.desc("cosine"), "id")
+    return topk.select(F.row_number().over(w).alias("rank"), "id", "cosine")

@@ -60,22 +60,32 @@ def build_index(
     spark: SparkSession,
     corpus: DataFrame,
     out: str,
-    shard_size: int = DEFAULT_SHARD_SIZE,
+    shard_size: int | None = None,
     n_groups: int = 4,
     resume: bool = True,
 ) -> dict:
-    """Build the full index under ``out``. Returns build metrics."""
+    """Build the full index under ``out``. Returns build metrics.
+
+    shard_size=None picks ceil(n_docs / (4 * shuffle_partitions)) clamped to
+    [256, DEFAULT_SHARD_SIZE]: enough shards to keep every core busy during
+    assembly locally, capped so shards stay large (better compression,
+    fewer rows) on a real cluster where n_docs >> partitions.
+    """
     t0 = time.time()
-    metrics: dict = {"shard_size": shard_size, "n_groups": n_groups}
+    metrics: dict = {"n_groups": n_groups}
 
     docs_path = table_path(out, DOCS_DIR)
     stats_path = table_path(out, STATS_DIR)
     manifest_path = table_path(out, MANIFEST_DIR)
     lexicon_path = table_path(out, LEXICON_DIR)
 
+    # the corpus is read many times (range-sampling pass, id shuffle); keep
+    # it materialized for the duration of the build
+    corpus_cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+
     # --- docs + stats stage (checkpoint: _SUCCESS markers) -------------------
     tokenized = (
-        assign_doc_ids(corpus)
+        assign_doc_ids(corpus_cached)
         .select(
             "doc_id", "repo", "path", "commit", "lang",
             F.sha2(F.col("content"), 256).alias("sha256"),
@@ -105,12 +115,19 @@ def build_index(
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
     metrics["docs_stage_s"] = time.time() - t_docs
 
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if shard_size is None:
+        shard_size = max(256, min(DEFAULT_SHARD_SIZE,
+                                  math.ceil(n_docs / (4 * shuffle_p))))
+    metrics["shard_size"] = shard_size
+
     # --- postings stage, one idempotent job per contiguous shard group -------
     n_shards = max(1, math.ceil(n_docs / shard_size))
     shards_per_group = math.ceil(n_shards / n_groups)
     done = _completed_groups(spark, manifest_path) if resume else set()
     attempts = _attempt_counts(spark, manifest_path)
 
+    # explode once, keep materialized across the group jobs
     src = tokenized.select(
         "doc_id",
         (F.col("doc_id") / shard_size).cast("int").alias("shard"),
@@ -120,9 +137,8 @@ def build_index(
         "doc_id", "shard", "doclen",
         F.col("p.terms").alias("term"),
         F.col("p.tfs").cast("long").alias("tf"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     for g in range(n_groups):
         if g in done:
             continue
@@ -130,7 +146,7 @@ def build_index(
         lo, hi = g * shards_per_group, (g + 1) * shards_per_group
         part = (
             src.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
-            .repartition(max(1, shuffle_p // n_groups), "shard")
+            .repartition(shuffle_p, "shard")
             .sortWithinPartitions("shard", "term", "doc_id")
             .mapInPandas(assemble_postings(avgdl), POSTINGS_SCHEMA)
         )
@@ -159,7 +175,9 @@ def build_index(
             manifest_path
         )
 
+    src.unpersist()
     tokenized.unpersist()
+    corpus_cached.unpersist()
 
     # --- lexicon: global per-term stats (the skew "post-merge" — tiny rows) --
     t_lex = time.time()

@@ -42,7 +42,8 @@ class IndexSearcher:
         self.spark = spark
         self.index_root = index_root
         self.postings = index_io.read_postings(spark, index_root)
-        self.lexicon = index_io.read_lexicon(spark, index_root)
+        # the lexicon is hot (probed per query): keep it cluster-cached
+        self.lexicon = index_io.read_lexicon(spark, index_root).persist()
         self.docs = index_io.read_docs(spark, index_root)
         stats = index_io.read_stats(spark, index_root)
         self.n_docs = int(stats["n_docs"])

@@ -120,13 +120,15 @@ def gen_batch(indices: np.ndarray, n_docs: int) -> pd.DataFrame:
     for i in indices:
         i = int(i)
         ext = _EXTS[i % len(_EXTS)]
+        # clones must be byte-identical: render with the clone source index
+        gen_i = min(i, n_docs - 3) if n_docs >= 3 else i
         rows.append(
             {
                 "repo": f"org{i % 17}/repo{i % 251}",
                 "path": f"src/d{i % 13}/f_{i}.{ext}",
                 "commit": hashlib.sha256(f"c{i}".encode()).hexdigest()[:12],
                 "lang": _LANGS[ext],
-                "content": _render(i, _doc_tokens(i, n_docs, voc, cum, rare_at)),
+                "content": _render(gen_i, _doc_tokens(i, n_docs, voc, cum, rare_at)),
             }
         )
     return pd.DataFrame(

@@ -1,0 +1,135 @@
+"""Dedup operators: exact groups find the planted clones; MinHash-LSH
+recalls the exact-Jaccard pairs; SimHash of identical docs is identical;
+n-gram Jaccard matches a brute-force python oracle."""
+
+import itertools
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nyu_search_engine_spark.functions.tokenize import tokenize_py, tokens_col
+from nyu_search_engine_spark.operators import dedup
+from tests.conftest import N_DOCS
+
+
+def _tok_df(corpus):
+    return corpus.select(
+        F.concat_ws("|", "repo", "path").alias("doc_key"),
+        tokens_col(F.col("content")).alias("tokens"),
+    ).withColumnRenamed("doc_key", "id").select(
+        F.col("id"), F.col("tokens")
+    )
+
+
+def test_exact_dup_groups_find_clones(spark, corpus):
+    out = dedup.exact_dup_groups(corpus, "path", "content").toPandas()
+    grp = out[out["group_size"] > 1]
+    # synth corpus clones the last 3 docs
+    assert sorted(grp["id"]) == sorted(
+        f"src/d{i % 13}/f_{i}.{['py','cpp','java','rs','go'][i % 5]}"
+        for i in (N_DOCS - 3, N_DOCS - 2, N_DOCS - 1)
+    )
+    assert (grp["group_size"] == 3).all()
+    assert grp["canonical_id"].nunique() == 1
+
+
+def _python_jaccard_pairs(corpus_pdf, n, threshold):
+    sh = {}
+    for _, r in corpus_pdf.iterrows():
+        toks = tokenize_py(r["content"])
+        key = f"{r['repo']}|{r['path']}"
+        if len(toks) >= n:
+            sh[key] = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            sh[key] = {" ".join(toks)}
+    pairs = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= threshold:
+                pairs[(a, b)] = j
+    return pairs
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, corpus, corpus_pdf):
+    toks = corpus.select(
+        F.concat_ws("|", "repo", "path").alias("id"),
+        tokens_col(F.col("content")).alias("tokens"),
+    )
+    sh = dedup.shingles(toks, "id", "tokens", 3)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(sh, 0.8).collect()
+    }
+    want = _python_jaccard_pairs(corpus_pdf, 3, 0.8)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_lsh_recalls_exact_dups(spark, corpus, corpus_pdf):
+    toks = corpus.select(
+        F.concat_ws("|", "repo", "path").alias("id"),
+        tokens_col(F.col("content")).alias("tokens"),
+    )
+    sh = dedup.shingles(toks, "id", "tokens", 3)
+    sigs = dedup.minhash_signatures(sh, 16)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, 4, 4).collect()
+    }
+    # identical docs have identical signatures in every band -> must be found
+    exact = set(_python_jaccard_pairs(corpus_pdf, 3, 0.999))
+    assert exact, "expected planted clone pairs"
+    assert exact <= pairs
+
+
+def test_minhash_similarity_estimates_jaccard(spark, corpus, corpus_pdf):
+    toks = corpus.select(
+        F.concat_ws("|", "repo", "path").alias("id"),
+        tokens_col(F.col("content")).alias("tokens"),
+    )
+    sigs = dedup.minhash_signatures(
+        dedup.shingles(toks, "id", "tokens", 3), 64
+    ).toPandas().set_index("id")["sig"]
+    want = _python_jaccard_pairs(corpus_pdf, 3, 0.0)
+    checked = 0
+    for (a, b), j in want.items():
+        if j >= 0.9 or 0.01 < j < 0.1:
+            est = np.mean(
+                [x == y for x, y in zip(sigs[a], sigs[b])]
+            )
+            assert abs(est - j) < 0.25
+            checked += 1
+    assert checked > 0
+
+
+def test_simhash_identical_docs_equal(spark, corpus):
+    toks = corpus.select(F.col("path").alias("id"),
+                         F.explode(tokens_col(F.col("content"))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    out = dedup.simhash(tf).toPandas().set_index("id")["simhash"]
+    exts = ["py", "cpp", "java", "rs", "go"]
+    clones = [
+        f"src/d{i % 13}/f_{i}.{exts[i % 5]}" for i in (N_DOCS - 3, N_DOCS - 2, N_DOCS - 1)
+    ]
+    vals = {out[c] for c in clones}
+    assert len(vals) == 1
+    assert all(v >= 0 for v in out)
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vid long, v array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb, "vid", "v", 0.95).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] > 0.999

@@ -1,0 +1,42 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations we rely on must
+actually appear in the plan — term IN pushed into the Parquet scan, the
+top-k decoration as a BroadcastHashJoin, tokenizer on the Arrow path, and
+the global top-k as TakeOrderedAndProject."""
+
+from pyspark.sql import functions as F
+
+from nyu_search_engine_spark.plans.search import Query, bruteforce_topk
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_term_filter_pushed_to_postings_scan(searcher):
+    q = Query(("rareterm00", "hotterm0"), "OR")
+    df = searcher.postings.filter(F.col("term").isin(list(q.terms)))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan
+
+
+def test_decorate_is_broadcast_hash_join(searcher):
+    df = searcher.search(Query(("rareterm00",), "AND"), "pruned", decorate=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bruteforce_uses_arrow_udf_and_takeordered(corpus):
+    df = bruteforce_topk(corpus, Query(("rareterm00", "hotterm0"), "OR"))
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan  # vectorized tokenizer, not BatchEvalPython
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exhaustive_path_has_no_per_row_python(searcher):
+    df = searcher.search(Query(("rareterm00", "hotterm0"), "OR"),
+                         "exhaustive", decorate=False)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs

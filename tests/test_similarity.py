@@ -1,0 +1,87 @@
+"""Similarity search: brute-force top-k matches a numpy oracle; batch
+variant agrees with per-query runs; LSH path has bounded recall loss and
+every returned distance is exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nyu_search_engine_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.persist().count()
+    return df, vecs
+
+
+def _numpy_topk(vecs, q, k, exclude=None):
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(vecs)), -sims))
+    out = [(int(i), float(sims[i])) for i in order if i != exclude]
+    return out[:k]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    q = vecs[0].astype(np.float64)
+    got = [
+        (r["id"], r["cosine"])
+        for r in similarity.cosine_topk(df, "vec_id", "embedding",
+                                        q.tolist(), 10, exclude_id=0).collect()
+    ]
+    want = _numpy_topk(vecs.astype(np.float64), q, 10, exclude=0)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_batch_topk_agrees_with_single(emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id").isin([1, 5, 9]))
+    batch = similarity.cosine_topk_batch(
+        df, "vec_id", "embedding", queries, "vec_id", "embedding", 5
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["cosine"]))
+    for qid in (1, 5, 9):
+        single = [
+            (r["rank"], r["id"], r["cosine"])
+            for r in similarity.cosine_topk(
+                df, "vec_id", "embedding", vecs[qid].tolist(), 5, exclude_id=qid
+            ).collect()
+        ]
+        got = sorted(by_q[qid])
+        assert [g[1] for g in got] == [s[1] for s in single]
+        for g, s in zip(got, single):
+            assert abs(g[2] - s[2]) < 1e-9
+
+
+def test_lsh_topk_recall_and_exactness(emb):
+    df, vecs = emb
+    q = vecs[3].astype(np.float64)
+    approx = [
+        (r["id"], r["cosine"])
+        for r in similarity.lsh_topk(df, "vec_id", "embedding", q.tolist(),
+                                     10, n_planes=4, exclude_id=3).collect()
+    ]
+    exact = _numpy_topk(vecs.astype(np.float64), q, 10, exclude=3)
+    exact_ids = {e[0] for e in exact}
+    got_ids = {a[0] for a in approx}
+    # multi-probe over 5 of 16 buckets: expect decent overlap, not identity
+    assert len(got_ids & exact_ids) >= 3
+    # every returned cosine is the true cosine (approximation only in recall)
+    truth = dict(_numpy_topk(vecs.astype(np.float64), q, 400))
+    for vid, cos in approx:
+        assert abs(cos - truth[vid]) < 1e-9
+
+
+def test_hyperplanes_deterministic():
+    a = similarity.hyperplanes(16, 4, seed=42)
+    b = similarity.hyperplanes(16, 4, seed=42)
+    assert (a == b).all()

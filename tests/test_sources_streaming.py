@@ -1,0 +1,65 @@
+"""TREC ingester and Structured-Streaming incremental indexing."""
+
+import os
+import shutil
+import tempfile
+
+from nyu_search_engine_spark.sources.trec import read_trec
+
+TREC_SAMPLE = """<DOC>
+<DOCNO>D1</DOCNO>
+<TEXT>
+http://example.com/a
+hello world of search engines
+</TEXT>
+</DOC>
+<DOC>
+<DOCNO>D2</DOCNO>
+<TEXT>
+http://example.com/b
+second document body text
+</TEXT>
+</DOC>
+"""
+
+
+def test_read_trec(spark, tmp_path):
+    p = tmp_path / "corpus.trec"
+    p.write_text(TREC_SAMPLE)
+    rows = {r["repo"]: r for r in read_trec(spark, str(p)).collect()}
+    assert set(rows) == {"D1", "D2"}
+    assert rows["D1"]["path"] == "http://example.com/a"
+    assert "hello world" in rows["D1"]["content"]
+    assert "second document" in rows["D2"]["content"]
+    assert rows["D1"]["commit"] == "trec"
+
+
+def test_incremental_index_stream(spark, corpus):
+    from nyu_search_engine_spark.sources import index_io
+    from nyu_search_engine_spark.streaming.incremental import (
+        read_segmented_lexicon,
+        start_incremental_index,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    out = tempfile.mkdtemp(prefix="stream_idx_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        sample = corpus.limit(50)
+        sample.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(sample.schema).parquet(src_dir)
+        q = start_incremental_index(spark, stream, out, ckpt, shard_size=25)
+        q.awaitTermination(120)
+        segs = os.listdir(os.path.join(out, "segments"))
+        assert segs
+        lex = read_segmented_lexicon(spark, out)
+        batch_lex = index_io.read_lexicon(
+            spark, os.path.join(out, "segments", segs[0])
+        )
+        # single micro-batch: merged view == the segment's own lexicon
+        assert lex.count() == batch_lex.count()
+        assert lex.filter("df <= 0").count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
