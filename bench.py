@@ -27,6 +27,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_sample() -> list[int]:
+    with open("/proc/stat") as fh:
+        return list(map(int, fh.readline().split()[1:9]))
+
+
+def _cpu_mix(before: list[int], after: list[int]) -> dict:
+    names = ["user", "nice", "sys", "idle", "iowait", "irq", "softirq", "steal"]
+    d = [b - a for a, b in zip(before, after)]
+    tot = max(1, sum(d))
+    return {n: round(100 * v / tot, 1) for n, v in zip(names, d)
+            if n in ("user", "sys", "idle", "iowait", "steal")}
+
+
 def run(cores: int | None = None, n_docs: int | None = None,
         quiet: bool = False) -> dict:
     from nyu_search_engine_spark.plans.build_index import build_index
@@ -48,9 +61,19 @@ def run(cores: int | None = None, n_docs: int | None = None,
         # throughput (a real corpus arrives as parquet)
         corpus = synth_corpus(spark, n_docs).persist()
         corpus.count()
+        # warm-up build: pays the one-time Python-worker import + JIT cost
+        # (a long-lived cluster amortizes this; a 2k-doc build surfaces it)
+        warm_root = tempfile.mkdtemp(prefix="nyu_bench_warm_")
+        try:
+            build_index(spark, synth_corpus(spark, 2000), warm_root,
+                        n_groups=1, resume=False)
+        finally:
+            shutil.rmtree(warm_root, ignore_errors=True)
+        cpu0 = _cpu_sample()
         t0 = time.time()
         m = build_index(spark, corpus, idx_root, n_groups=4)
         build_s = time.time() - t0
+        out["build_cpu_mix"] = _cpu_mix(cpu0, _cpu_sample())
         out["queries"]["index_build"] = round(build_s, 3)
         out["build"] = {
             "n_docs": m["n_docs"],
@@ -60,6 +83,8 @@ def run(cores: int | None = None, n_docs: int | None = None,
             "bytes_out": m["bytes_out"],
             "compression_ratio": round(m["compression_ratio"], 4),
             "n_shards": m["n_shards"],
+            "docs_stage_s": round(m["docs_stage_s"], 2),
+            "lexicon_stage_s": round(m["lexicon_stage_s"], 2),
         }
 
         searcher = IndexSearcher(spark, idx_root)

@@ -27,7 +27,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +65,7 @@ def build_index(
     shard_size: int | None = None,
     n_groups: int = 4,
     resume: bool = True,
+    parallel_groups: bool = True,
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
 
@@ -138,15 +141,19 @@ def build_index(
         F.col("p.terms").alias("term"),
         F.col("p.tfs").cast("long").alias("tf"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if len(done) < n_groups:
+        src.count()  # materialize once; group jobs then read only this cache
+    tokenized.unpersist()
 
-    for g in range(n_groups):
-        if g in done:
-            continue
+    manifest_lock = threading.Lock()
+
+    def run_group(g: int) -> None:
         tg = time.time()
         lo, hi = g * shards_per_group, (g + 1) * shards_per_group
+        per_group_p = max(1, shuffle_p // n_groups) if parallel_groups else shuffle_p
         part = (
             src.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
-            .repartition(shuffle_p, "shard")
+            .repartition(per_group_p, "shard")
             .sortWithinPartitions("shard", "term", "doc_id")
             .mapInPandas(assemble_postings(avgdl), POSTINGS_SCHEMA)
         )
@@ -171,12 +178,24 @@ def build_index(
                 attempts.get(g, 0) + 1,
             )
         ]
-        spark.createDataFrame(mrow, MANIFEST_SCHEMA).write.mode("append").parquet(
-            manifest_path
-        )
+        with manifest_lock:
+            spark.createDataFrame(mrow, MANIFEST_SCHEMA).write.mode("append").parquet(
+                manifest_path
+            )
+
+    todo = [g for g in range(n_groups) if g not in done]
+    if parallel_groups and len(todo) > 1:
+        # concurrent group jobs keep the cluster saturated (each checkpoint
+        # unit is still an independent idempotent write + manifest row)
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+            futures = [ex.submit(run_group, g) for g in todo]
+            for f in futures:
+                f.result()
+    else:
+        for g in todo:
+            run_group(g)
 
     src.unpersist()
-    tokenized.unpersist()
     corpus_cached.unpersist()
 
     # --- lexicon: global per-term stats (the skew "post-merge" — tiny rows) --

@@ -29,7 +29,8 @@ def test_resume_after_partial_build(spark, corpus, monkeypatch):
     clean_root = tempfile.mkdtemp(prefix="idx_clean_")
     crash_root = tempfile.mkdtemp(prefix="idx_crash_")
     try:
-        bi.build_index(spark, corpus, clean_root, shard_size=80, n_groups=3)
+        bi.build_index(spark, corpus, clean_root, shard_size=80, n_groups=3,
+                       parallel_groups=False)
 
         # crash the build while writing group 2
         real_write = bi.assemble_postings
@@ -44,7 +45,8 @@ def test_resume_after_partial_build(spark, corpus, monkeypatch):
 
         monkeypatch.setattr(bi, "assemble_postings", crashing)
         with pytest.raises(RuntimeError, match="simulated crash"):
-            bi.build_index(spark, corpus, crash_root, shard_size=80, n_groups=3)
+            bi.build_index(spark, corpus, crash_root, shard_size=80, n_groups=3,
+                           parallel_groups=False)
         monkeypatch.setattr(bi, "assemble_postings", real_write)
 
         man = spark.read.parquet(os.path.join(crash_root, "manifest"))
@@ -52,7 +54,8 @@ def test_resume_after_partial_build(spark, corpus, monkeypatch):
         assert done_before == {0, 1}
 
         # resume: only group 2 is rebuilt
-        bi.build_index(spark, corpus, crash_root, shard_size=80, n_groups=3)
+        bi.build_index(spark, corpus, crash_root, shard_size=80, n_groups=3,
+                       parallel_groups=False)
         man = spark.read.parquet(os.path.join(crash_root, "manifest"))
         rows = {r["group"]: r["attempt"] for r in man.collect()}
         assert set(rows) == {0, 1, 2}
