@@ -28,8 +28,17 @@ def assign_doc_ids(
     df: DataFrame,
     sort_keys: tuple[str, ...] = DOC_SORT_KEYS,
     num_partitions: int | None = None,
+    keep_pid_col: str | None = None,
 ) -> DataFrame:
-    """Add a dense ``doc_id`` column: 0..N-1 by ascending sort_keys."""
+    """Add a dense ``doc_id`` column: 0..N-1 by ascending sort_keys.
+
+    With ``keep_pid_col``, also emit the range-partition index as a column.
+    Because partitions are ordered key ranges and ids are assigned in
+    order, each partition holds a CONTIGUOUS doc_id range — the builder
+    uses the partition index directly as the index shard, which removes
+    the postings shuffle entirely (SHUFFLE 2 becomes a partition-local
+    sort).
+    """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
@@ -50,17 +59,23 @@ def assign_doc_ids(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         ) + ", doc_id long"
         cols = [f.name for f in df.schema.fields]
+        if keep_pid_col:
+            out_schema += f", {keep_pid_col} int"
 
         def add_ids(batches):
             pos = -1
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                pid = int(pdf["_pid"].iloc[0])
                 if pos < 0:
-                    pos = offsets[int(pdf["_pid"].iloc[0])]
+                    pos = offsets[pid]
                 ids = np.arange(pos, pos + len(pdf), dtype=np.int64)
                 pos += len(pdf)
-                yield pdf[cols].assign(doc_id=ids)
+                out = pdf[cols].assign(doc_id=ids)
+                if keep_pid_col:
+                    out[keep_pid_col] = np.int32(pid)
+                yield out
 
         out = ranged.mapInPandas(add_ids, schema=out_schema)
         # materialization happens downstream; caller unpersists via the

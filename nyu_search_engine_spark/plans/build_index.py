@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..constants import (
-    DEFAULT_SHARD_SIZE,
     DOCS_DIR,
     LEXICON_DIR,
     MANIFEST_DIR,
@@ -86,16 +85,40 @@ def build_index(
     # it materialized for the duration of the build
     corpus_cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
 
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pin layout decisions across resume runs even if the session conf
+    # changed: the first run writes build_conf.json
+    conf_path = os.path.join(out, "build_conf.json")
+    p_assign = shuffle_p
+    if resume and os.path.exists(conf_path):
+        with open(conf_path) as fh:
+            prior = json.load(fh)
+        shard_size = prior["shard_size"]  # None => partition-as-shard mode
+        p_assign = prior["p_assign"]
+    os.makedirs(out, exist_ok=True)
+    with open(conf_path, "w") as fh:
+        json.dump({"shard_size": shard_size, "n_groups": n_groups,
+                   "p_assign": p_assign}, fh)
+    fast_mode = shard_size is None
+
     # --- docs + stats stage (checkpoint: _SUCCESS markers) -------------------
+    # partition-as-shard (fast_mode): each assignment range partition holds
+    # a contiguous doc_id range, so it IS the index shard — the postings
+    # stage then needs NO shuffle at all (sort + assemble are
+    # partition-local); the reference's temp-run merge happens inside the
+    # per-partition ExternalSorter.
     tokenized = (
-        assign_doc_ids(corpus_cached)
+        assign_doc_ids(corpus_cached, num_partitions=p_assign,
+                       keep_pid_col="shard" if fast_mode else None)
         .select(
             "doc_id", "repo", "path", "commit", "lang",
+            *(["shard"] if fast_mode else []),
             F.sha2(F.col("content"), 256).alias("sha256"),
             tokenize_tf("content").alias("tk"),
         )
         .select(
             "doc_id", "repo", "path", "commit", "lang", "sha256",
+            *(["shard"] if fast_mode else []),
             F.col("tk.terms").alias("terms"),
             F.col("tk.tfs").alias("tfs"),
             F.col("tk.doclen").alias("doclen"),
@@ -118,32 +141,41 @@ def build_index(
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
     metrics["docs_stage_s"] = time.time() - t_docs
 
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if shard_size is None:
-        shard_size = max(256, min(DEFAULT_SHARD_SIZE,
-                                  math.ceil(n_docs / (4 * shuffle_p))))
     metrics["shard_size"] = shard_size
+    metrics["fast_mode"] = fast_mode
 
     # --- postings stage, one idempotent job per contiguous shard group -------
-    n_shards = max(1, math.ceil(n_docs / shard_size))
+    n_shards = p_assign if fast_mode else max(1, math.ceil(n_docs / shard_size))
     shards_per_group = math.ceil(n_shards / n_groups)
     done = _completed_groups(spark, manifest_path) if resume else set()
     attempts = _attempt_counts(spark, manifest_path)
 
-    # explode once, keep materialized across the group jobs
-    src = tokenized.select(
-        "doc_id",
-        (F.col("doc_id") / shard_size).cast("int").alias("shard"),
-        "doclen",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
-    ).select(
-        "doc_id", "shard", "doclen",
-        F.col("p.terms").alias("term"),
-        F.col("p.tfs").cast("long").alias("tf"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    if len(done) < n_groups:
-        src.count()  # materialize once; group jobs then read only this cache
-    tokenized.unpersist()
+    if fast_mode:
+        # no shuffle: shard column == cached partition; explode + sort +
+        # assemble are all partition-local per group job
+        src = tokenized.select(
+            "doc_id", "shard", "doclen",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        ).select(
+            "doc_id", "shard", "doclen",
+            F.col("p.terms").alias("term"),
+            F.col("p.tfs").cast("long").alias("tf"),
+        )
+    else:
+        # explicit doc-range sharding: one hash shuffle on shard
+        src = tokenized.select(
+            "doc_id",
+            (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+            "doclen",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        ).select(
+            "doc_id", "shard", "doclen",
+            F.col("p.terms").alias("term"),
+            F.col("p.tfs").cast("long").alias("tf"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if len(done) < n_groups:
+            src.count()  # materialize once; group jobs read only this cache
+        tokenized.unpersist()
 
     manifest_lock = threading.Lock()
 
@@ -151,9 +183,11 @@ def build_index(
         tg = time.time()
         lo, hi = g * shards_per_group, (g + 1) * shards_per_group
         per_group_p = max(1, shuffle_p // n_groups) if parallel_groups else shuffle_p
+        grp_src = src.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
+        if not fast_mode:
+            grp_src = grp_src.repartition(per_group_p, "shard")
         part = (
-            src.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
-            .repartition(per_group_p, "shard")
+            grp_src
             .sortWithinPartitions("shard", "term", "doc_id")
             .mapInPandas(assemble_postings(avgdl), POSTINGS_SCHEMA)
         )
@@ -195,7 +229,10 @@ def build_index(
         for g in todo:
             run_group(g)
 
-    src.unpersist()
+    if fast_mode:
+        tokenized.unpersist()
+    else:
+        src.unpersist()
     corpus_cached.unpersist()
 
     # --- lexicon: global per-term stats (the skew "post-merge" — tiny rows) --
