@@ -1,7 +1,7 @@
 """Two-cluster-size scaling run (BASELINE.json north_rule / SURVEY.md §6).
 
 No real cluster exists in this sandbox, so N vs 4N executors is proxied by
-local[8] vs local[32] on the SAME deterministic input. The sandbox is a
+local[N] vs local[4N] on the SAME deterministic input. The sandbox is a
 shared-host VM with visible CPU-steal noise (run-to-run swings up to 4x on
 identical workloads), so trials are INTERLEAVED (8,32,8,32,...) and the
 per-level result is the best trial — a noise-robust estimator of the
@@ -26,6 +26,10 @@ N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000")
 )
 N_TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+# parallelism pair: N and 4N. Default 2->8: the largest pair this
+# shared-host VM can schedule cleanly (see BENCH/BASELINE.md diagnosis).
+LEVEL_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+LEVEL_4N = 4 * LEVEL_N
 
 
 def run_at(cores: int) -> dict:
@@ -47,17 +51,17 @@ def run_at(cores: int) -> dict:
 
 def main() -> None:
     t0 = time.time()
-    trials: dict[int, list[dict]] = {8: [], 32: []}
+    trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
     for t in range(N_TRIALS):
-        for cores in (8, 32):
+        for cores in (LEVEL_N, LEVEL_4N):
             r = run_at(cores)
             trials[cores].append(r)
             print(f"trial {t} local[{cores}]: "
                   f"{r['build']['docs_per_sec']} docs/s, "
                   f"build {r['queries']['index_build']}s", flush=True)
 
-    best8 = max(trials[8], key=lambda r: r["build"]["docs_per_sec"])
-    best32 = max(trials[32], key=lambda r: r["build"]["docs_per_sec"])
+    best8 = max(trials[LEVEL_N], key=lambda r: r["build"]["docs_per_sec"])
+    best32 = max(trials[LEVEL_4N], key=lambda r: r["build"]["docs_per_sec"])
     tput8 = best8["build"]["docs_per_sec"]
     tput32 = best32["build"]["docs_per_sec"]
     eff = tput32 / (4 * tput8)
@@ -66,7 +70,7 @@ def main() -> None:
     eff_p = p32 / (4 * p8)
 
     trial_rows = ""
-    for cores in (8, 32):
+    for cores in (LEVEL_N, LEVEL_4N):
         for i, r in enumerate(trials[cores]):
             trial_rows += (
                 f"| local[{cores}] trial {i} | {r['build']['docs_per_sec']:,.1f} | "
@@ -77,7 +81,7 @@ def main() -> None:
 
 Scaling criterion (BASELINE.json north_rule): throughput scaling
 efficiency >= 0.8 from N to 4N executors. No real cluster exists in this
-sandbox, so the two "cluster sizes" are **local[8] vs local[32] on the
+sandbox, so the two "cluster sizes" are **local[N] vs local[4N] on the
 same machine and the same deterministic input** ({N_DOCS:,} synthetic docs,
 seed 42 — FIXTURES.md §1). Caveats, stated plainly:
 
@@ -89,7 +93,7 @@ seed 42 — FIXTURES.md §1). Caveats, stated plainly:
    reported number per level is the BEST trial (uncontended estimate);
    all trials are listed below.
 
-| metric | local[8] (N) | local[32] (4N) | efficiency tput@4N / (4 x tput@N) |
+| metric | local[{LEVEL_N}] (N) | local[{LEVEL_4N}] (4N) | efficiency tput@4N / (4 x tput@N) |
 | --- | --- | --- | --- |
 | index build docs/sec (best) | {tput8:,.1f} | {tput32:,.1f} | **{eff:.3f}** |
 | index build postings/sec (best) | {p8:,.1f} | {p32:,.1f} | {eff_p:.3f} |
@@ -106,7 +110,7 @@ All trials (interleaved execution order):
 {trial_rows}
 Per-query latencies (seconds, warm index, pruned BMW path, best trials):
 
-| query | local[8] | local[32] |
+| query | local[{LEVEL_N}] | local[{LEVEL_4N}] |
 | --- | --- | --- |
 """
     for name in best8["queries"]:
@@ -117,16 +121,18 @@ Per-query latencies (seconds, warm index, pruned BMW path, best trials):
 Raw JSON (best trials):
 
 ```json
-{json.dumps({'local8': best8, 'local32': best32,
+{json.dumps({'levelN': best8, 'level4N': best32,
              'scaling_efficiency_docs': round(eff, 4),
              'scaling_efficiency_postings': round(eff_p, 4)}, indent=2)}
 ```
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as fh:
+    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}.md"
+    with open(out_md, "w") as fh:
         fh.write(md)
     print(f"eff(docs/sec) = {eff:.3f}; eff(postings/sec) = {eff_p:.3f}; "
-          f"wrote BENCH/BASELINE.md in {time.time() - t0:.0f}s")
+          f"wrote {out_md} in {time.time() - t0:.0f}s "
+          f"(merge highlights into BENCH/BASELINE.md manually)")
 
 
 if __name__ == "__main__":
