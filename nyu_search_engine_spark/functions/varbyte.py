@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..constants import BLOCK_SIZE
+
 _MAX_VB_BYTES = 10  # ceil(64 / 7)
 
 
@@ -84,14 +86,43 @@ def vb_encode_docids(doc_ids: np.ndarray | list[int]) -> bytes:
 
 
 def vb_decode_docids(buf: bytes) -> np.ndarray:
+    """Decode ONE delta run (absolute first value, then gaps).
+
+    Correct for a single block-max block (each block restarts delta
+    encoding with an absolute docID, operators/assemble.py). For a full
+    multi-block payload use ``vb_decode_docids_blocked`` — a plain cumsum
+    over the whole payload would add the absolute block-start values into
+    the running sum and corrupt every docID past the first block.
+    """
     return delta_decode(vb_decode(buf))
+
+
+def vb_decode_docids_blocked(buf: bytes, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Decode a full postings payload whose delta encoding restarts every
+    ``block_size`` values (the on-disk layout from encode_term_postings).
+
+    Segmented cumsum, fully vectorized: subtract, from the global running
+    sum, the sum accumulated before each block's absolute restart value.
+    """
+    gaps = vb_decode(buf)
+    n = gaps.size
+    if n <= block_size:
+        return delta_decode(gaps)
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.arange(block_size, n, block_size)
+    base_per_block = np.concatenate(([np.uint64(0)], cs[starts - 1]))
+    blk = np.arange(n, dtype=np.int64) // block_size
+    return cs - base_per_block[blk]
 
 
 # --- Spark-facing decoders (exhaustive query path) ---------------------------
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def vb_decode_docids_udf(payload: pd.Series) -> pd.Series:
-    return payload.map(lambda b: vb_decode_docids(b).astype(np.int64).tolist())
+    """Full-payload docID decode honoring per-block delta restarts."""
+    return payload.map(
+        lambda b: vb_decode_docids_blocked(b).astype(np.int64).tolist()
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
