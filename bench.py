@@ -109,6 +109,18 @@ def run(cores: int | None = None, n_docs: int | None = None,
         t = time.time()
         searcher.search(qset["q_or_mixed"], "exhaustive", decorate=False).collect()
         out["queries"]["q_or_mixed_exhaustive"] = round(time.time() - t, 3)
+        # batched API: all 7 fixture queries in ONE postings scan — the
+        # per-query job-scheduling floor is paid once, not 7 times
+        t = time.time()
+        batch = searcher.search_batch(
+            {i: q for i, q in enumerate(qset.values())}
+        )
+        n_batch_rows = batch.count()
+        out["queries"]["q_batch_all7"] = round(time.time() - t, 3)
+        out["batch_rows"] = n_batch_rows
+        out["batch_speedup_vs_sequential"] = round(
+            sum(lat) / max(out["queries"]["q_batch_all7"], 1e-9), 2
+        )
         lat_sorted = sorted(lat)
         out["query_p95_s"] = round(lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 3)
         out["query_mean_s"] = round(sum(lat) / len(lat), 3)
@@ -131,5 +143,35 @@ def run(cores: int | None = None, n_docs: int | None = None,
     return out
 
 
+NOISE_THRESHOLD_PCT = 15.0  # sys+steal above this => dirty host window
+
+
+def run_robust() -> dict:
+    """Noise-robust publication (VERDICT r1 #6): BENCH_r01 landed in a
+    degraded-host window (42% sys) and published a 3.6x-low number. Reject
+    a run whose build-phase CPU mix shows sys+steal above the threshold,
+    retry once at the same core count, then downshift cores (the observed
+    failure mode is 32-thread runs degrading on the shared VM while <=16
+    stays clean). The published JSON carries the attempt history."""
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    plan = [cores, cores]
+    if cores > 16:
+        plan.append(16)
+    history = []
+    out = None
+    for c in plan:
+        out = run(cores=c, quiet=True)
+        mix = out.get("build_cpu_mix", {})
+        noise = mix.get("sys", 0.0) + mix.get("steal", 0.0)
+        history.append({"cores": c, "sys_steal_pct": round(noise, 1)})
+        if noise <= NOISE_THRESHOLD_PCT:
+            break
+    out["noise_attempts"] = history
+    out["host_noise_pct"] = history[-1]["sys_steal_pct"]
+    out["host_noise_clean"] = out["host_noise_pct"] <= NOISE_THRESHOLD_PCT
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
-    run()
+    run_robust()

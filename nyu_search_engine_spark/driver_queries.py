@@ -102,12 +102,25 @@ def _bm25_result(corpus_topk: DataFrame) -> DataFrame:
     )
 
 
+_CORPORA: dict[str, DataFrame] = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized adapted corpus per sf_dir: one DataFrame object, so the
+    per-corpus BM25 stats cache (plans/search._corpus_stats) hits across
+    queries instead of re-tokenizing for N/avgdl every call."""
+    if sf_dir not in _CORPORA:
+        _CORPORA[sf_dir] = load_documents_corpus(spark, sf_dir)
+    return _CORPORA[sf_dir]
+
+
 def _bruteforce(spark, sf_dir, terms, mode, k=10) -> DataFrame:
-    corpus = load_documents_corpus(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
     return _bm25_result(bruteforce_topk(corpus, Query(tuple(terms), mode, k)))
 
 
 _SEARCHERS: dict[str, "object"] = {}
+_ANN_INDEXES: dict[str, str] = {}
 
 
 def _searcher(spark: SparkSession, sf_dir: str):
@@ -188,6 +201,27 @@ def build_queries() -> dict:
     q["search_pruned_and"] = lambda spark, sf: _indexed(spark, sf, ["dup", "key"], "AND", 10, "pruned")
     q["search_exhaustive_or"] = lambda spark, sf: _indexed(spark, sf, ["dup", "spark", "merge"], "OR", 10, "exhaustive")
 
+    # batched multi-query API (SURVEY §2.5/T3 batch form): 4 queries
+    # (OR/AND mix + an OOV-AND that must contribute zero rows) answered in
+    # ONE postings scan, rank-identical to the per-query pruned path
+    def _batch(spark, sf):
+        s = _searcher(spark, sf)
+        res = s.search_batch(
+            {
+                1: Query(("dup", "spark", "merge"), "OR", 5),
+                2: Query(("dup", "key"), "AND", 5),
+                3: Query(("batch", "scan"), "OR", 7),
+                4: Query(("dup", "zzznotaterm"), "AND", 5),
+            },
+            decorate=True,
+        )
+        return res.select(
+            "query_id", "rank", F.col("path").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+
+    q["bm25_batch_topk"] = _batch
+
     # --- dedup family ---------------------------------------------------------
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
         _documents(spark, sf), "doc_id", "text"
@@ -237,12 +271,24 @@ def build_queries() -> dict:
         ).select("query_id", "rank", F.col("id").alias("vec_id"),
                  F.round("cosine", 6).alias("cosine"))
     )
-    q["ann_lsh_topk"] = lambda spark, sf: (  # approximate: rows-only check
-        similarity.lsh_topk(
-            _embeddings(spark, sf), "vec_id", "embedding", _qvec(spark, sf), 10,
-            n_planes=4, exclude_id=0,
-        ).select("rank", F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
-    )
+    def _ann_lsh(spark, sf):
+        # scale path: probe the PERSISTED bucket index (built once per sf;
+        # bucket IN (...) prunes to the probed partitions) — results are
+        # identical to the on-the-fly lsh_topk, and exact vs the baked-
+        # hyperplane DuckDB oracle
+        if sf not in _ANN_INDEXES:
+            root = tempfile.mkdtemp(prefix="nyu_drv_ann_")
+            similarity.build_ann_index(
+                _embeddings(spark, sf), "vec_id", "embedding", root,
+                n_planes=4, seed=42,
+            )
+            _ANN_INDEXES[sf] = root
+        return similarity.lsh_topk_indexed(
+            spark, _ANN_INDEXES[sf], _qvec(spark, sf), 10, exclude_id=0,
+        ).select("rank", F.col("id").alias("vec_id"),
+                 F.round("cosine", 6).alias("cosine"))
+
+    q["ann_lsh_topk"] = _ann_lsh
 
     # --- text analysis -----------------------------------------------------------
     q["text_token_stats"] = lambda spark, sf: (
@@ -275,17 +321,26 @@ def build_queries() -> dict:
             "doc_id", "payload",
         ).select(F.col("id").alias("doc_id"), "n_bytes", "header_hex", "payload_sha256")
     )
-    q["multimodal_image_features"] = lambda spark, sf: (  # stubbed decode: rows-only
+    q["multimodal_image_features"] = lambda spark, sf: (
+        # deterministic fake decode (stride-mean byte math) — exact oracle
         multimodal.image_features(
             _documents(spark, sf).select("doc_id", F.encode("text", "UTF-8").alias("payload")),
             "doc_id", "payload", deterministic_fake=True,
+        ).select(
+            F.col("media_id").alias("doc_id"),
+            "n_bytes",
+            *[
+                F.round(F.element_at("feat", j + 1), 6).alias(f"f{j}")
+                for j in range(8)
+            ],
         )
     )
-    q["multimodal_frame_sample"] = lambda spark, sf: (  # stubbed demux: rows-only
+    q["multimodal_frame_sample"] = lambda spark, sf: (
+        # deterministic fake demux (256-byte slices + sha256) — exact oracle
         multimodal.frame_sample(
             _documents(spark, sf).select("doc_id", F.encode("text", "UTF-8").alias("payload")),
             "doc_id", "payload", every_n_bytes=256, deterministic_fake=True,
-        )
+        ).select(F.col("media_id").alias("doc_id"), "frame_idx", "frame_sha256")
     )
     return q
 
@@ -331,6 +386,15 @@ SELECT count(*) AS n_docs, round(avg(n), 6) AS avgdl, sum(n)::BIGINT AS total_to
     o["search_pruned_or"] = o["bm25_or_topk"]
     o["search_pruned_and"] = o["bm25_and_topk"]
     o["search_exhaustive_or"] = o["bm25_or_topk"]
+    o["bm25_batch_topk"] = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, * FROM ({_bm25_oracle(terms, mode, k)})"
+        for qid, terms, mode, k in [
+            (1, ["dup", "spark", "merge"], "OR", 5),
+            (2, ["dup", "key"], "AND", 5),
+            (3, ["batch", "scan"], "OR", 7),
+            (4, ["dup", "zzznotaterm"], "AND", 5),
+        ]
+    )
 
     o["dedup_exact"] = """
 WITH h AS (SELECT doc_id, sha256(text) AS content_sha256 FROM documents),
@@ -489,5 +553,72 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        upper(hex(encode(substr(text, 1, 4)))) AS header_hex,
        sha256(text) AS payload_sha256
 FROM documents
+"""
+    # Exact twin of the deterministic fake decode (operators/multimodal.py):
+    # feat[j] = avg of payload bytes at positions p ≡ j (mod 8), p < 1024,
+    # / 255 in float64 (byte sums are integer-exact, so avg matches numpy).
+    feat_cols = ",\n  ".join(
+        f"round(coalesce(max(CASE WHEN fi = {j} THEN feat END), 0.0), 6) AS f{j}"
+        for j in range(8)
+    )
+    # DuckDB's substr/sha256 are VARCHAR-only; the driver corpus is pure
+    # ASCII (verified: octet_length(encode(text)) == length(text) at every
+    # sf), so char positions == byte positions and VARCHAR ops are exact.
+    o["multimodal_image_features"] = f"""
+WITH p AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id, (i % 8)::INT AS fi, ascii(substr(text, i + 1, 1)) AS v
+  FROM p, generate_series(0, 1023) g(i)
+  WHERE i < length(text)
+),
+f AS (SELECT doc_id, fi, avg(v) / 255.0 AS feat FROM b GROUP BY doc_id, fi)
+SELECT p.doc_id, length(p.text)::BIGINT AS n_bytes,
+  {feat_cols}
+FROM p LEFT JOIN f USING (doc_id)
+GROUP BY p.doc_id, p.text
+"""
+    # Exact twin of the fake frame sampler: one frame per 256-byte slice
+    # (>= 1 frame even for empty payloads), sha256 per slice.
+    o["multimodal_frame_sample"] = """
+WITH n AS (SELECT doc_id, text,
+                  greatest((length(text) + 255) // 256, 1) AS n_frames
+           FROM documents),
+g AS (SELECT i FROM generate_series(0, 1023) s(i))  -- covers docs to 256 KiB
+SELECT doc_id, i::INT AS frame_idx,
+       sha256(substr(text, i * 256 + 1, 256)) AS frame_sha256
+FROM n CROSS JOIN g WHERE g.i < n.n_frames
+"""
+    # Exact twin of similarity.lsh_topk: the seeded hyperplanes are baked
+    # in as literals; Hamming-distance<=1 multi-probe == xor in {0,1,2,4,8}.
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4, seed=42)
+    plane_rows = ",\n    ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}])"
+        for j in range(4)
+    )
+    o["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+pl(j, p) AS (VALUES
+    {plane_rows}
+),
+b AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                  THEN (1::BIGINT << pl.j) ELSE 0 END)::BIGINT AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id
+),
+q AS (SELECT b.bucket AS qb, e.v AS qv FROM b JOIN e USING (vec_id) WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM e JOIN b USING (vec_id) CROSS JOIN q
+  WHERE xor(b.bucket, q.qb) IN (0, 1, 2, 4, 8) AND e.vec_id <> 0
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 """
     return o

@@ -103,9 +103,17 @@ def encode_term_postings(
     }
 
 
-def assemble_postings(avgdl: float):
-    """mapInPandas factory: sorted (shard, term, doc_id, tf, doclen)
-    partition stream -> one row per (shard, term)."""
+def assemble_postings(avgdl: float, occurrences: bool = False):
+    """mapInPandas factory: sorted partition stream -> one row per
+    (shard, term).
+
+    occurrences=False: input rows are (shard, term, doc_id, tf, doclen) —
+    one per (doc, term), tf pre-counted (Arrow tokenizer path).
+    occurrences=True: input rows are (shard, term, doc_id, doclen) — one
+    per token OCCURRENCE (JVM tokenizer path); the kernel collapses equal
+    (term, doc_id) runs into tf counts, keeping the whole docs stage
+    Python-free (tokens come from a codegen'd regexp split).
+    """
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -123,26 +131,37 @@ def assemble_postings(avgdl: float):
                 continue
             last_start = int(chg[-1])
             carry = pdf.iloc[last_start:].reset_index(drop=True)
-            yield _emit_groups(pdf.iloc[:last_start], avgdl)
+            yield _emit_groups(pdf.iloc[:last_start], avgdl, occurrences)
         if carry is not None and len(carry):
-            yield _emit_groups(carry, avgdl)
+            yield _emit_groups(carry, avgdl, occurrences)
 
     return walk
 
 
-def _emit_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def _emit_groups(
+    pdf: pd.DataFrame, avgdl: float, occurrences: bool = False
+) -> pd.DataFrame:
     shard = pdf["shard"].to_numpy()
     term = pdf["term"].to_numpy()
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["doclen"].to_numpy(dtype=np.int64)
+    tfs = None if occurrences else pdf["tf"].to_numpy(dtype=np.int64)
     starts = np.concatenate(
         ([0], np.nonzero((shard[1:] != shard[:-1]) | (term[1:] != term[:-1]))[0] + 1)
     )
     ends = np.concatenate((starts[1:], [len(pdf)]))
     rows = []
     for s, e in zip(starts, ends):
-        row = encode_term_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl)
+        if occurrences:
+            # doc_ids sorted within the group: equal runs == one doc's tf
+            u, first, cnt = np.unique(
+                ids[s:e], return_index=True, return_counts=True
+            )
+            row = encode_term_postings(
+                u, cnt.astype(np.int64), dls[s:e][first], avgdl
+            )
+        else:
+            row = encode_term_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl)
         row["shard"] = int(shard[s])
         row["term"] = term[s]
         rows.append(row)

@@ -63,19 +63,22 @@ def minhash_signatures(
     String-min over hex md5 is a valid uniform permutation surrogate and
     is engine-portable (identical in Spark and DuckDB). sig[i] is the
     minimum under permutation i.
+
+    Single-pass shape: all n_hashes permutation hashes are column
+    expressions on the shingle row, folded by ONE groupBy(id) carrying
+    n_hashes map-side-combined min aggregates — no row blow-up
+    (the old form crossJoined x n_hashes and shuffled twice).
     """
-    spark = sh.sparkSession
-    perms = spark.range(n_hashes).select(F.col("id").cast("int").alias("perm"))
-    hashed = sh.crossJoin(F.broadcast(perms)).select(
-        "id", "perm",
-        F.md5(F.concat_ws("|", F.col("perm").cast("string"), "shingle")).alias("h"),
-    )
+    hashes = [
+        F.md5(F.concat_ws("|", F.lit(str(p)), "shingle")).alias(f"h{p}")
+        for p in range(n_hashes)
+    ]
+    mins = [F.min(f"h{p}").alias(f"m{p}") for p in range(n_hashes)]
     return (
-        hashed.groupBy("id", "perm")
-        .agg(F.min("h").alias("mh"))
+        sh.select("id", *hashes)
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
-        .select("id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+        .agg(*mins)
+        .select("id", F.array(*[f"m{p}" for p in range(n_hashes)]).alias("sig"))
     )
 
 

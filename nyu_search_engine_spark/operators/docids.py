@@ -78,8 +78,10 @@ def assign_doc_ids(
                 yield out
 
         out = ranged.mapInPandas(add_ids, schema=out_schema)
-        # materialization happens downstream; caller unpersists via the
-        # returned frame's lineage once the docs table is written
+        # expose the cached intermediate so the caller can unpersist it
+        # once downstream frames are materialized (unpersisting the
+        # returned frame would NOT release this cache)
+        out._ranged_cache = ranged
         return out
     except Exception:
         ranged.unpersist()

@@ -28,7 +28,7 @@ MEDIA_SCHEMA = (
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "media_id long, n_bytes long, feat array<float>"
+    "media_id long, n_bytes long, feat array<double>"
 )
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
@@ -48,18 +48,22 @@ def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
 def _decode_image_impl(payload: bytes, deterministic_fake: bool) -> np.ndarray:
     """STUB: real decode needs an image library not present in this
-    container. The fake is a deterministic 8-dim feature from the bytes."""
+    container. The fake is a deterministic 8-dim feature from the bytes:
+    feat[j] = mean of bytes at positions p ≡ j (mod 8), p < 1024, / 255,
+    all in float64 — integer byte sums are exact, so the DuckDB oracle
+    (avg over the same stride) reproduces it bit-for-bit."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image decode requires an image codec library (not in this "
             "container); pass deterministic_fake=True for the test path"
         )
-    arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
-    if arr.size == 0:
-        return np.zeros(8, dtype=np.float32)
-    pads = -arr.size % 8
-    arr = np.pad(arr, (0, pads))
-    return arr.reshape(8, -1).mean(axis=1) / 255.0
+    arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float64)
+    out = np.zeros(8, dtype=np.float64)
+    for j in range(8):
+        stride = arr[j::8]
+        if stride.size:
+            out[j] = stride.mean() / 255.0
+    return out
 
 
 def image_features(

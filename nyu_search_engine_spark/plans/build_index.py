@@ -42,7 +42,7 @@ from ..constants import (
     POSTINGS_DIR,
     STATS_DIR,
 )
-from ..functions.tokenize import tokenize_tf
+from ..functions.tokenize import tokenize_tf, tokens_col
 from ..operators.assemble import POSTINGS_SCHEMA, assemble_postings
 from ..operators.docids import assign_doc_ids
 from ..sources.index_io import table_path
@@ -65,13 +65,20 @@ def build_index(
     n_groups: int = 4,
     resume: bool = True,
     parallel_groups: bool = True,
+    tokenizer: str = "jvm",
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
 
-    shard_size=None picks ceil(n_docs / (4 * shuffle_partitions)) clamped to
-    [256, DEFAULT_SHARD_SIZE]: enough shards to keep every core busy during
-    assembly locally, capped so shards stay large (better compression,
-    fewer rows) on a real cluster where n_docs >> partitions.
+    shard_size=None selects partition-as-shard FAST MODE: dense docID
+    assignment leaves each range partition holding a contiguous doc_id
+    interval, the partition index becomes the index shard, and the
+    postings stage runs with NO shuffle (partition-local sort + assembly).
+    The per-shard max doc_id bounds are recorded in build_conf.json on the
+    first run; a resumed fast-mode build derives shards FROM those bounds
+    (range-sampled partition boundaries are not reproducible across
+    sessions), trading the zero-shuffle property for byte-identical
+    resume. An explicit shard_size keeps shard = doc_id // shard_size
+    (one hash shuffle, resume-stable by construction).
     """
     t0 = time.time()
     metrics: dict = {"n_groups": n_groups}
@@ -90,16 +97,27 @@ def build_index(
     # changed: the first run writes build_conf.json
     conf_path = os.path.join(out, "build_conf.json")
     p_assign = shuffle_p
-    if resume and os.path.exists(conf_path):
+    shard_bounds: list[list[int]] | None = None  # [[shard, max_doc_id]...]
+    resuming = resume and os.path.exists(conf_path)
+    if resuming:
         with open(conf_path) as fh:
             prior = json.load(fh)
         shard_size = prior["shard_size"]  # None => partition-as-shard mode
         p_assign = prior["p_assign"]
+        shard_bounds = prior.get("shard_bounds")
     os.makedirs(out, exist_ok=True)
-    with open(conf_path, "w") as fh:
-        json.dump({"shard_size": shard_size, "n_groups": n_groups,
-                   "p_assign": p_assign}, fh)
+
+    def _write_conf() -> None:
+        with open(conf_path, "w") as fh:
+            json.dump({"shard_size": shard_size, "n_groups": n_groups,
+                       "p_assign": p_assign, "shard_bounds": shard_bounds},
+                      fh)
+
+    _write_conf()
     fast_mode = shard_size is None
+    # fast-mode resume: partition boundaries from a fresh session need not
+    # match the first run's, so shards must come from the RECORDED bounds
+    use_recorded_bounds = fast_mode and resuming and bool(shard_bounds)
 
     # --- docs + stats stage (checkpoint: _SUCCESS markers) -------------------
     # partition-as-shard (fast_mode): each assignment range partition holds
@@ -107,24 +125,48 @@ def build_index(
     # stage then needs NO shuffle at all (sort + assemble are
     # partition-local); the reference's temp-run merge happens inside the
     # per-partition ExternalSorter.
-    tokenized = (
-        assign_doc_ids(corpus_cached, num_partitions=p_assign,
-                       keep_pid_col="shard" if fast_mode else None)
-        .select(
-            "doc_id", "repo", "path", "commit", "lang",
-            *(["shard"] if fast_mode else []),
-            F.sha2(F.col("content"), 256).alias("sha256"),
-            tokenize_tf("content").alias("tk"),
+    assigned = assign_doc_ids(corpus_cached, num_partitions=p_assign,
+                              keep_pid_col="shard" if fast_mode else None)
+    ranged_cache = getattr(assigned, "_ranged_cache", None)
+    occurrences = tokenizer == "jvm"
+    if occurrences:
+        # JVM tokenizer: codegen'd regexp split — ZERO Python in the docs
+        # stage (tf counting moves into the assembly kernel's run-collapse)
+        tokenized = (
+            assigned
+            .select(
+                "doc_id", "repo", "path", "commit", "lang",
+                *(["shard"] if fast_mode else []),
+                F.sha2(F.col("content"), 256).alias("sha256"),
+                # null content -> empty tokens (matches the Arrow UDF path)
+                F.coalesce(
+                    tokens_col(F.col("content")),
+                    F.array().cast("array<string>"),
+                ).alias("tokens"),
+            )
+            .withColumn("doclen", F.size("tokens"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .select(
-            "doc_id", "repo", "path", "commit", "lang", "sha256",
-            *(["shard"] if fast_mode else []),
-            F.col("tk.terms").alias("terms"),
-            F.col("tk.tfs").alias("tfs"),
-            F.col("tk.doclen").alias("doclen"),
+    else:
+        # Arrow tokenizer: fused tokenize+tf pandas UDF (one row per
+        # (doc, term) into the sort instead of one per occurrence)
+        tokenized = (
+            assigned
+            .select(
+                "doc_id", "repo", "path", "commit", "lang",
+                *(["shard"] if fast_mode else []),
+                F.sha2(F.col("content"), 256).alias("sha256"),
+                tokenize_tf("content").alias("tk"),
+            )
+            .select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256",
+                *(["shard"] if fast_mode else []),
+                F.col("tk.terms").alias("terms"),
+                F.col("tk.tfs").alias("tfs"),
+                F.col("tk.doclen").alias("doclen"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     t_docs = time.time()
     if not (resume and _exists(docs_path) and _exists(stats_path)):
         tokenized.select(
@@ -143,6 +185,7 @@ def build_index(
 
     metrics["shard_size"] = shard_size
     metrics["fast_mode"] = fast_mode
+    metrics["tokenizer"] = tokenizer
 
     # --- postings stage, one idempotent job per contiguous shard group -------
     n_shards = p_assign if fast_mode else max(1, math.ceil(n_docs / shard_size))
@@ -150,32 +193,37 @@ def build_index(
     done = _completed_groups(spark, manifest_path) if resume else set()
     attempts = _attempt_counts(spark, manifest_path)
 
-    if fast_mode:
-        # no shuffle: shard column == cached partition; explode + sort +
-        # assemble are all partition-local per group job
-        src = tokenized.select(
-            "doc_id", "shard", "doclen",
-            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
-        ).select(
-            "doc_id", "shard", "doclen",
-            F.col("p.terms").alias("term"),
-            F.col("p.tfs").cast("long").alias("tf"),
+    # per-doc source with a shard column; the explode happens INSIDE each
+    # group job AFTER the shard filter, so across all groups every doc is
+    # exploded exactly once (no re-explode waste, nothing extra cached)
+    if fast_mode and not use_recorded_bounds:
+        # shard == cached range partition: group jobs are shuffle-free
+        per_doc = tokenized
+        if len(done) < n_groups and shard_bounds is None:
+            # record per-shard doc_id bounds so a resumed session (whose
+            # range-sampled partition boundaries may differ) can derive
+            # the SAME sharding from doc_ids
+            shard_bounds = sorted(
+                [int(r["shard"]), int(r["mx"])]
+                for r in tokenized.groupBy("shard")
+                .agg(F.max("doc_id").alias("mx"))
+                .collect()
+            )
+            _write_conf()
+    elif use_recorded_bounds:
+        # derive shard from the recorded bounds: index of the first shard
+        # whose max doc_id >= this doc_id (bounds are contiguous ranges)
+        mx_arr = F.array(*[F.lit(int(m)) for _, m in shard_bounds])
+        pid_arr = F.array(*[F.lit(int(s)) for s, _ in shard_bounds])
+        idx = F.size(F.filter(mx_arr, lambda x: x < F.col("doc_id")))
+        per_doc = tokenized.withColumn(
+            "shard", F.element_at(pid_arr, idx + F.lit(1))
         )
     else:
-        # explicit doc-range sharding: one hash shuffle on shard
-        src = tokenized.select(
-            "doc_id",
-            (F.col("doc_id") / shard_size).cast("int").alias("shard"),
-            "doclen",
-            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
-        ).select(
-            "doc_id", "shard", "doclen",
-            F.col("p.terms").alias("term"),
-            F.col("p.tfs").cast("long").alias("tf"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        if len(done) < n_groups:
-            src.count()  # materialize once; group jobs read only this cache
-        tokenized.unpersist()
+        per_doc = tokenized.withColumn(
+            "shard", (F.col("doc_id") / shard_size).cast("int")
+        )
+    needs_shuffle = (not fast_mode) or use_recorded_bounds
 
     manifest_lock = threading.Lock()
 
@@ -183,13 +231,27 @@ def build_index(
         tg = time.time()
         lo, hi = g * shards_per_group, (g + 1) * shards_per_group
         per_group_p = max(1, shuffle_p // n_groups) if parallel_groups else shuffle_p
-        grp_src = src.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
-        if not fast_mode:
+        grp_doc = per_doc.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
+        if occurrences:
+            grp_src = grp_doc.select(
+                "doc_id", "shard", "doclen",
+                F.explode("tokens").alias("term"),
+            )
+        else:
+            grp_src = grp_doc.select(
+                "doc_id", "shard", "doclen",
+                F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+            ).select(
+                "doc_id", "shard", "doclen",
+                F.col("p.terms").alias("term"),
+                F.col("p.tfs").cast("long").alias("tf"),
+            )
+        if needs_shuffle:
             grp_src = grp_src.repartition(per_group_p, "shard")
         part = (
             grp_src
             .sortWithinPartitions("shard", "term", "doc_id")
-            .mapInPandas(assemble_postings(avgdl), POSTINGS_SCHEMA)
+            .mapInPandas(assemble_postings(avgdl, occurrences), POSTINGS_SCHEMA)
         )
         gpath = os.path.join(table_path(out, POSTINGS_DIR), f"group={g}")
         part.write.mode("overwrite").parquet(gpath)
@@ -229,10 +291,9 @@ def build_index(
         for g in todo:
             run_group(g)
 
-    if fast_mode:
-        tokenized.unpersist()
-    else:
-        src.unpersist()
+    tokenized.unpersist()
+    if ranged_cache is not None:
+        ranged_cache.unpersist()
     corpus_cached.unpersist()
 
     # --- lexicon: global per-term stats (the skew "post-merge" — tiny rows) --

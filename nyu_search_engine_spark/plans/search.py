@@ -22,6 +22,7 @@ kernel — so engineered ties are exactly equal and the §8.3 tie-break
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -55,7 +56,9 @@ class Query:
 
 
 def _rank_window() -> Window:
-    return Window.orderBy(
+    # constant partition key: same single-partition semantics over <= k
+    # rows, without WindowExec's empty-partition-spec warning
+    return Window.partitionBy(F.lit(0)).orderBy(
         F.desc("score"), F.col("repo"), F.col("path"), F.col("commit")
     )
 
@@ -119,7 +122,18 @@ def bruteforce_topk(corpus: DataFrame, query: Query) -> DataFrame:
     )
 
 
+_STATS_CACHE: "weakref.WeakKeyDictionary[DataFrame, tuple[int, float]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _corpus_stats(corpus: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) for BM25 — memoized per corpus DataFrame so repeated
+    bruteforce queries over the same corpus tokenize it for stats once,
+    not once per query."""
+    hit = _STATS_CACHE.get(corpus)
+    if hit is not None:
+        return hit
     row = (
         corpus.select(tokenize_tf("content").alias("tk"))
         .agg(
@@ -128,7 +142,9 @@ def _corpus_stats(corpus: DataFrame) -> tuple[int, float]:
         )
         .first()
     )
-    return int(row["n"]), float(row["avgdl"])
+    out = (int(row["n"]), float(row["avgdl"]))
+    _STATS_CACHE[corpus] = out
+    return out
 
 
 def _empty_result(corpus: DataFrame) -> DataFrame:

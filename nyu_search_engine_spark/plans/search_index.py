@@ -24,6 +24,7 @@ Paths 3a and 3b are rank-identical by construction (pytest-enforced).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -159,11 +160,109 @@ class IndexSearcher:
         )
         return self._rank(cand, query.k)
 
+    # --- batched multi-query search (SURVEY §2.5/T3 batch form) ---------------
+
+    def search_batch(
+        self,
+        queries: dict[int, Query] | list[tuple[int, Query]],
+        decorate: bool = False,
+    ) -> DataFrame:
+        """Answer MANY queries in ONE postings scan -> (query_id, rank,
+        doc_id, score).
+
+        Amortizes the per-query Spark job floor: all query terms ride one
+        broadcast lexicon probe and one term-IN-pushdown scan; each shard
+        kernel runs every query against its co-located slices (decoded
+        blocks are shared across queries via the TermSlice cache), then a
+        per-query window top-k merges n_shards*k candidate rows. Scores
+        are bitwise identical to the single-query pruned path (same
+        rarest-first slice order, same kernels).
+        """
+        items = list(queries.items()) if isinstance(queries, dict) else list(queries)
+        all_terms = sorted({t for _, q in items for t in q.terms})
+        if not items or not all_terms:
+            return self._empty_batch(decorate)
+        rows = (
+            self.lexicon.filter(F.col("term").isin(all_terms))
+            .select("term", "df")
+            .collect()
+        )
+        df_by_term = {r["term"]: int(r["df"]) for r in rows}
+        # per-query plan: rarest-first kept terms; OOV => AND empty, OR skip
+        qplans: dict[int, tuple[str, int, list[tuple[str, float]]]] = {}
+        for qid, q in items:
+            terms = list(dict.fromkeys(q.terms))
+            kept = [t for t in terms if t in df_by_term]
+            if not kept or (q.mode == "AND" and len(kept) < len(terms)):
+                continue
+            meta = sorted((df_by_term[t], t) for t in kept)
+            qplans[int(qid)] = (
+                q.mode, q.k, [(t, idf_np(d, self.n_docs)) for d, t in meta]
+            )
+        if not qplans:
+            return self._empty_batch(decorate)
+        scan_terms = sorted({t for _, _, tl in qplans.values() for t, _ in tl})
+        avgdl = self.avgdl
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            present = {r["term"]: r for _, r in pdf.iterrows()}
+            cache: dict[str, TermSlice] = {}
+            out = []
+            for qid, (mode, k, tl) in qplans.items():
+                if mode == "AND" and any(t not in present for t, _ in tl):
+                    continue
+                sl = []
+                for t, idf in tl:
+                    if t not in present:
+                        continue
+                    if t not in cache:
+                        cache[t] = TermSlice(present[t])
+                    sl.append((t, idf, cache[t]))
+                if not sl:
+                    continue
+                fn = shard_topk_and if mode == "AND" else shard_topk_or
+                ids, scores = fn(sl, k, avgdl)
+                if ids.size:
+                    out.append((np.full(ids.size, qid, dtype=np.int64),
+                                ids.astype(np.int64),
+                                scores.astype(np.float64)))
+            if not out:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return pd.DataFrame({
+                "query_id": np.concatenate([o[0] for o in out]),
+                "doc_id": np.concatenate([o[1] for o in out]),
+                "score": np.concatenate([o[2] for o in out]),
+            })
+
+        cand = (
+            self.postings.filter(F.col("term").isin(scan_terms))
+            .select("shard", "term", "max_tfn",
+                    "doc_ids_vb", "tfs_vb", "doclens_vb", "blocks")
+            .groupBy("shard")
+            .applyInPandas(kernel, "query_id long, doc_id long, score double")
+        )
+        ks = self.spark.createDataFrame(
+            [(qid, int(k)) for qid, (_, k, _) in qplans.items()],
+            "query_id long, k int",
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(ks), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+        return self._decorate_batch(topk) if decorate else topk
+
     # --- shared tail ------------------------------------------------------------
 
     def _rank(self, scored: DataFrame, k: int) -> DataFrame:
         topk = scored.orderBy(F.desc("score"), "doc_id").limit(k)
-        w = Window.orderBy(F.desc("score"), "doc_id")
+        # constant partition key: identical single-partition semantics over
+        # <= k rows, without WindowExec's empty-partition-spec warning
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "doc_id")
         return topk.select(
             F.row_number().over(w).alias("rank"), "doc_id", "score"
         )
@@ -174,10 +273,22 @@ class IndexSearcher:
             "rank", "doc_id", "score", "repo", "path", "commit"
         ).orderBy("rank")
 
+    def _decorate_batch(self, topk: DataFrame) -> DataFrame:
+        joined = self.docs.join(F.broadcast(topk), "doc_id")
+        return joined.select(
+            "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+        ).orderBy("query_id", "rank")
+
     def _empty(self, decorate: bool) -> DataFrame:
         schema = (
             "rank int, doc_id long, score double, repo string, path string, commit string"
             if decorate
             else "rank int, doc_id long, score double"
         )
+        return self.spark.createDataFrame([], schema)
+
+    def _empty_batch(self, decorate: bool) -> DataFrame:
+        schema = "query_id long, rank int, doc_id long, score double"
+        if decorate:
+            schema += ", repo string, path string, commit string"
         return self.spark.createDataFrame([], schema)

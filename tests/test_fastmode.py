@@ -60,6 +60,31 @@ def test_fast_mode_layout_invariants(spark, fast_root):
         assert hi1 < lo2  # disjoint ascending ranges (lo2 >= first doc of s2)
 
 
+def test_jvm_and_arrow_tokenizers_build_identical_postings(spark, corpus):
+    """The JVM (regexp-split + kernel run-collapse) and Arrow (fused
+    tokenize+tf UDF) build paths must produce byte-identical postings."""
+    ra = tempfile.mkdtemp(prefix="idx_tok_a_")
+    rb = tempfile.mkdtemp(prefix="idx_tok_b_")
+    try:
+        build_index(spark, corpus, ra, shard_size=80, n_groups=2,
+                    tokenizer="jvm")
+        build_index(spark, corpus, rb, shard_size=80, n_groups=2,
+                    tokenizer="arrow")
+
+        def fp(root):
+            return sorted(
+                (r["shard"], r["term"], r["df"], r["cf"],
+                 bytes(r["doc_ids_vb"]).hex(), bytes(r["tfs_vb"]).hex(),
+                 bytes(r["doclens_vb"]).hex())
+                for r in index_io.read_postings(spark, root).collect()
+            )
+
+        assert fp(ra) == fp(rb)
+    finally:
+        shutil.rmtree(ra, ignore_errors=True)
+        shutil.rmtree(rb, ignore_errors=True)
+
+
 def test_fast_mode_lexicon_matches_legacy(spark, fast_root, index_root):
     a = index_io.read_lexicon(spark, fast_root).select("term", "df", "cf")
     b = index_io.read_lexicon(spark, index_root).select("term", "df", "cf")

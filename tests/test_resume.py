@@ -72,6 +72,54 @@ def test_resume_after_partial_build(spark, corpus, monkeypatch):
         shutil.rmtree(crash_root, ignore_errors=True)
 
 
+def test_fast_mode_resume_uses_recorded_bounds(spark, corpus, monkeypatch):
+    """Fast mode (partition-as-shard): range-partition boundaries come from
+    reservoir sampling and are NOT reproducible across sessions, so a
+    resumed build must derive shards from the doc_id bounds recorded in
+    build_conf.json on the first run — groups kept from the first run and
+    redone groups then agree on every boundary doc (byte-identical)."""
+    import json
+
+    clean_root = tempfile.mkdtemp(prefix="idx_fclean_")
+    crash_root = tempfile.mkdtemp(prefix="idx_fcrash_")
+    try:
+        bi.build_index(spark, corpus, clean_root, shard_size=None, n_groups=2,
+                       parallel_groups=False)
+
+        real_write = bi.assemble_postings
+        calls = {"n": 0}
+
+        def crashing(avgdl):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second group job
+                raise RuntimeError("simulated crash before group 1")
+            return real_write(avgdl)
+
+        monkeypatch.setattr(bi, "assemble_postings", crashing)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            bi.build_index(spark, corpus, crash_root, shard_size=None,
+                           n_groups=2, parallel_groups=False)
+        monkeypatch.setattr(bi, "assemble_postings", real_write)
+
+        # the first (crashed) run must have recorded the shard bounds
+        with open(os.path.join(crash_root, "build_conf.json")) as fh:
+            conf = json.load(fh)
+        assert conf["shard_size"] is None
+        assert conf["shard_bounds"], "fast mode must record doc_id bounds"
+
+        bi.build_index(spark, corpus, crash_root, shard_size=None, n_groups=2,
+                       parallel_groups=False)
+        man = spark.read.parquet(os.path.join(crash_root, "manifest"))
+        assert {r["group"] for r in man.collect()} == {0, 1}
+
+        assert _postings_fingerprint(spark, crash_root) == _postings_fingerprint(
+            spark, clean_root
+        )
+    finally:
+        shutil.rmtree(clean_root, ignore_errors=True)
+        shutil.rmtree(crash_root, ignore_errors=True)
+
+
 def test_manifest_metrics_present(spark, index_root):
     man = index_io.read_manifest(spark, index_root)
     rows = man.filter(F.col("status") == "ok").collect()

@@ -85,3 +85,32 @@ def test_hyperplanes_deterministic():
     a = similarity.hyperplanes(16, 4, seed=42)
     b = similarity.hyperplanes(16, 4, seed=42)
     assert (a == b).all()
+
+
+def test_indexed_lsh_matches_on_the_fly_and_prunes(spark, emb, tmp_path):
+    """The persisted bucket index returns IDENTICAL results to the
+    per-query bucketing path, and the probe scan reads only the probed
+    bucket partitions (partition pruning on bucket IN (...))."""
+    df, vecs = emb
+    root = str(tmp_path / "ann_idx")
+    meta = similarity.build_ann_index(df, "vec_id", "embedding", root,
+                                      n_planes=4, seed=42)
+    assert meta["dim"] == 16
+    q = vecs[3].astype(np.float64)
+    onfly = [
+        (r["rank"], r["id"], r["cosine"])
+        for r in similarity.lsh_topk(df, "vec_id", "embedding", q.tolist(),
+                                     10, n_planes=4, exclude_id=3).collect()
+    ]
+    res = similarity.lsh_topk_indexed(spark, root, q.tolist(), 10, exclude_id=3)
+    indexed = [(r["rank"], r["id"], r["cosine"]) for r in res.collect()]
+    assert indexed == onfly
+    # pruning: the physical scan's partition filters mention bucket
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt and "bucket" in txt

@@ -59,6 +59,16 @@ def test_incremental_index_stream(spark, corpus):
         # single micro-batch: merged view == the segment's own lexicon
         assert lex.count() == batch_lex.count()
         assert lex.filter("df <= 0").count() == 0
+        # global doc_ids: manifest base offsets make them unique & dense
+        from nyu_search_engine_spark.streaming.incremental import (
+            read_segment_manifest,
+            read_segmented_docs,
+        )
+        man = {r["seg"]: r for r in read_segment_manifest(spark, out).collect()}
+        assert sum(r["n_docs"] for r in man.values()) == 50
+        gdocs = read_segmented_docs(spark, out)
+        ids = sorted(r["doc_id"] for r in gdocs.select("doc_id").collect())
+        assert ids == list(range(50))
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
