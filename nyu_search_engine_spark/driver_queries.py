@@ -250,6 +250,13 @@ def build_queries() -> dict:
         dedup.embedding_neardup_pairs(_embeddings(spark, sf), "vec_id", "embedding", 0.40)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    q["dedup_embedding_lsh_pairs"] = lambda spark, sf: (
+        # corpus-scale blocked variant: bucket-local join, exact cosines
+        dedup.embedding_neardup_lsh_pairs(
+            _embeddings(spark, sf), "vec_id", "embedding", 0.40,
+            n_planes=4, seed=42,
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
 
     # --- similarity search -----------------------------------------------------
     def _qvec(spark, sf, vid=0):
@@ -361,6 +368,15 @@ sigs AS (
 
 def build_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
+    # Seeded hyperplane literals shared by the LSH oracles (64-dim driver
+    # embeddings; Hamming-distance<=1 == xor IN (0,1,2,4,8) for 4 planes).
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4, seed=42)
+    plane_rows = ",\n    ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}])"
+        for j in range(4)
+    )
     o["term_df_cf"] = f"""
 WITH {TOKS}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM toks GROUP BY term
@@ -445,6 +461,28 @@ p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
   FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.40
+"""
+    o["dedup_embedding_lsh_pairs"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+pl(j, p) AS (VALUES
+    {plane_rows}
+),
+b AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                  THEN (1::BIGINT << pl.j) ELSE 0 END)::BIGINT AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id
+),
+n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.bucket
+      FROM e JOIN b USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cosine
+  FROM n a JOIN n c ON a.vec_id < c.vec_id
+  WHERE xor(a.bucket, c.bucket) IN (0, 1, 2, 4, 8)
 )
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.40
 """
@@ -590,13 +628,6 @@ FROM n CROSS JOIN g WHERE g.i < n.n_frames
 """
     # Exact twin of similarity.lsh_topk: the seeded hyperplanes are baked
     # in as literals; Hamming-distance<=1 multi-probe == xor in {0,1,2,4,8}.
-    from .operators.similarity import hyperplanes
-
-    planes = hyperplanes(64, 4, seed=42)
-    plane_rows = ",\n    ".join(
-        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}])"
-        for j in range(4)
-    )
     o["ann_lsh_topk"] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
            FROM embeddings),

@@ -170,6 +170,58 @@ def simhash(tf_df: DataFrame, bits: int = STOPWORD_SAFE_BITS) -> DataFrame:
     )
 
 
+def embedding_neardup_lsh_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float,
+    n_planes: int = 4, seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) near-dup pairs via hyperplane-LSH blocking —
+    the corpus-scale path: only pairs whose sign-buckets are within
+    Hamming distance 1 are scored (bucket equi-join on the probe
+    expansion), so the join is bucket-local instead of O(n^2). Exact
+    cosine on every emitted pair; deterministic planes => exact DuckDB
+    oracle. Recall is bounded by the blocking (pairs differing in >1 sign
+    bit are not candidates — that is the documented approximation).
+    """
+    from .similarity import hyperplanes, random_hyperplane_buckets
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = hyperplanes(int(first["d"]), n_planes, seed)
+    base = random_hyperplane_buckets(emb, id_col, vec_col, planes) \
+        .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # probe expansion: each row joins under its own bucket and every
+    # Hamming-1 neighbor, so one equi-join on probe covers distance <= 1;
+    # keeping only (a.bucket <= probe target) halves duplicate candidates
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), F.explode(probes).alias("probe"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("bucket").alias("probe"),
+    )
+    return (
+        a.join(b, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

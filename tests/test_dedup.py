@@ -133,3 +133,31 @@ def test_embedding_neardup_pairs(spark):
     }
     assert set(got) == {(0, 1)}
     assert got[(0, 1)] > 0.999
+
+
+def test_embedding_neardup_lsh_pairs_subset_and_exact(spark):
+    """The bucketed scale path emits a SUBSET of the exact O(n^2) pairs
+    (blocking can only lose pairs, never invent them), with identical
+    cosines on every emitted pair, and must catch near-identical vectors
+    (which always share a bucket)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 16))
+    vecs[1] = vecs[0] + rng.standard_normal(16) * 0.01   # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vid long, v array<float>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb, "vid", "v", 0.5).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_lsh_pairs(
+            emb, "vid", "v", 0.5, n_planes=4
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert (0, 1) in blocked
+    for pair, cos in blocked.items():
+        assert abs(cos - exact[pair]) < 1e-12

@@ -37,11 +37,11 @@ def test_resume_after_partial_build(spark, corpus, monkeypatch):
 
         calls = {"n": 0}
 
-        def crashing(avgdl):
+        def crashing(avgdl, *args, **kw):
             calls["n"] += 1
             if calls["n"] == 3:  # third group job
                 raise RuntimeError("simulated crash before group 2")
-            return real_write(avgdl)
+            return real_write(avgdl, *args, **kw)
 
         monkeypatch.setattr(bi, "assemble_postings", crashing)
         with pytest.raises(RuntimeError, match="simulated crash"):
@@ -89,11 +89,11 @@ def test_fast_mode_resume_uses_recorded_bounds(spark, corpus, monkeypatch):
         real_write = bi.assemble_postings
         calls = {"n": 0}
 
-        def crashing(avgdl):
+        def crashing(avgdl, *args, **kw):
             calls["n"] += 1
             if calls["n"] == 2:  # second group job
                 raise RuntimeError("simulated crash before group 1")
-            return real_write(avgdl)
+            return real_write(avgdl, *args, **kw)
 
         monkeypatch.setattr(bi, "assemble_postings", crashing)
         with pytest.raises(RuntimeError, match="simulated crash"):
