@@ -65,7 +65,7 @@ def build_index(
     n_groups: int = 4,
     resume: bool = True,
     parallel_groups: bool = True,
-    tokenizer: str = "jvm",
+    tokenizer: str = "arrow",
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
 
@@ -128,6 +128,14 @@ def build_index(
     assigned = assign_doc_ids(corpus_cached, num_partitions=p_assign,
                               keep_pid_col="shard" if fast_mode else None)
     ranged_cache = getattr(assigned, "_ranged_cache", None)
+    # Tokenizer A/B (measured, 100k docs / local[8], interleaved trials):
+    # "jvm" halves the docs stage (6.6s vs 12.1s — codegen regexp split,
+    # zero Python) but loses the BUILD overall (2.1-2.3k vs 2.8-2.9k
+    # docs/s): its cache holds raw token streams (~avgdl strings/doc vs
+    # ~distinct terms/doc), so every group job scans a ~4x bigger cache
+    # and the postings sort takes ~1.3x the rows. The fused Arrow
+    # tokenize+tf UDF is therefore the default; "jvm" remains for
+    # corpora with low term repetition (where the two caches converge).
     occurrences = tokenizer == "jvm"
     if occurrences:
         # JVM tokenizer: codegen'd regexp split — ZERO Python in the docs

@@ -23,7 +23,7 @@ kernel — so engineered ties are exactly equal and the §8.3 tie-break
 from __future__ import annotations
 
 import weakref
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

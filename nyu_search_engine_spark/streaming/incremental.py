@@ -95,6 +95,121 @@ def read_segmented_docs(spark: SparkSession, out: str) -> DataFrame:
     )
 
 
+def compact_segments(spark: SparkSession, out: str, dest: str) -> dict:
+    """Merge every streamed segment into ONE standard index layout at
+    ``dest`` (queryable by plans.search_index.IndexSearcher).
+
+    * doc_ids are remapped to the global space (segment-local id + the
+      manifest's running base) — postings payloads are decoded, offset,
+      and re-encoded in one mapInPandas pass, NO shuffle (numpy work per
+      (shard, term) row, never per posting in Python);
+    * block-max bounds are recomputed against the GLOBAL avgdl (each
+      segment encoded against its own avgdl; BM25 at query time needs
+      corpus-wide stats, so admissible bounds must too);
+    * shard ids are re-keyed per segment (running shard base) so shards
+      keep disjoint ascending doc ranges;
+    * docs / stats / lexicon are rebuilt from segment tables.
+    """
+    import json
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..constants import DOCS_DIR, LEXICON_DIR, POSTINGS_DIR, STATS_DIR
+    from ..functions.varbyte import vb_decode, vb_decode_docids_blocked
+    from ..operators.assemble import POSTINGS_SCHEMA, encode_term_postings
+    from ..sources.index_io import table_path
+
+    seg_base = os.path.join(out, "segments")
+    man = read_segment_manifest(spark, out).collect()
+    doc_base = {int(r["seg"]): int(r["doc_id_base"]) for r in man}
+
+    # global stats across segments
+    stats = spark.read.option("basePath", seg_base).parquet(
+        os.path.join(seg_base, "seg=*", "stats")
+    ).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    ).first()
+    n_docs = int(stats["n_docs"])
+    total_tokens = int(stats["total_tokens"])
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    # per-segment postings reads (a glob over seg=*/postings/group=* mixes
+    # k=v and plain dir levels and trips partition discovery) unioned with
+    # an explicit seg column
+    from functools import reduce
+
+    post = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(os.path.join(seg_base, f"seg={seg}", "postings"))
+            .withColumn("seg", F.lit(seg))
+            for seg in sorted(doc_base)
+        ],
+    )
+    # running shard base per segment (ascending seg order == ascending
+    # doc_id base order, so re-keyed shards keep disjoint doc ranges)
+    per_seg = {
+        int(r["seg"]): int(r["mx"]) + 1
+        for r in post.groupBy("seg").agg(F.max("shard").alias("mx")).collect()
+    }
+    shard_base, acc = {}, 0
+    for seg in sorted(per_seg):
+        shard_base[seg] = acc
+        acc += per_seg[seg]
+
+    def remap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                seg = int(r["seg"])
+                ids = vb_decode_docids_blocked(bytes(r["doc_ids_vb"])).astype(
+                    np.int64
+                ) + doc_base[seg]
+                tfs = vb_decode(bytes(r["tfs_vb"])).astype(np.int64)
+                dls = vb_decode(bytes(r["doclens_vb"])).astype(np.int64)
+                row = encode_term_postings(ids, tfs, dls, avgdl)
+                row["shard"] = shard_base[seg] + int(r["shard"])
+                row["term"] = r["term"]
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "shard", "term", "df", "cf", "max_tfn",
+                    "doc_ids_vb", "tfs_vb", "doclens_vb", "blocks",
+                ])
+
+    compacted = post.select(
+        "seg", "shard", "term", "doc_ids_vb", "tfs_vb", "doclens_vb"
+    ).mapInPandas(remap, POSTINGS_SCHEMA)
+    compacted.write.mode("overwrite").parquet(
+        os.path.join(table_path(dest, POSTINGS_DIR), "group=0")
+    )
+
+    docs = read_segmented_docs(spark, out).drop("seg")
+    docs.write.mode("overwrite").parquet(table_path(dest, DOCS_DIR))
+    spark.createDataFrame(
+        [(n_docs, avgdl, total_tokens)],
+        "n_docs long, avgdl double, total_tokens long",
+    ).write.mode("overwrite").parquet(table_path(dest, STATS_DIR))
+
+    new_post = spark.read.parquet(table_path(dest, POSTINGS_DIR))
+    new_post.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.count("*").alias("n_slices"),
+        F.max("max_tfn").alias("max_tfn"),
+    ).write.mode("overwrite").parquet(table_path(dest, LEXICON_DIR))
+
+    metrics = {"n_docs": n_docs, "avgdl": avgdl, "n_segments": len(per_seg),
+               "n_shards": acc}
+    with open(os.path.join(dest, "compact_meta.json"), "w") as fh:
+        json.dump(metrics, fh)
+    return metrics
+
+
 def read_segmented_lexicon(spark: SparkSession, out: str) -> DataFrame:
     """Global lexicon over all streamed segments (post-merge of per-segment
     stats, same groupBy(term) shape as the batch builder's)."""

@@ -73,3 +73,76 @@ def test_incremental_index_stream(spark, corpus):
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_compact_segments_queryable(spark, corpus):
+    """Multi-micro-batch stream -> compact -> one standard index whose
+    pruned BM25 results match bruteforce over the same docs (global
+    doc_ids, re-keyed shards, block maxes against GLOBAL avgdl)."""
+    from nyu_search_engine_spark.plans.search import Query, bruteforce_topk
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+    from nyu_search_engine_spark.streaming.incremental import (
+        compact_segments,
+        start_incremental_index,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="cstream_src_")
+    out = tempfile.mkdtemp(prefix="cstream_idx_")
+    ckpt = tempfile.mkdtemp(prefix="cstream_ckpt_")
+    dest = tempfile.mkdtemp(prefix="cstream_dest_")
+    try:
+        sample = corpus.limit(60).persist()
+        sample.count()
+        sample.repartition(4).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(sample.schema)
+            .option("maxFilesPerTrigger", 2)  # force >= 2 micro-batches
+            .parquet(src_dir)
+        )
+        q = start_incremental_index(spark, stream, out, ckpt, shard_size=25)
+        q.awaitTermination(180)
+        segs = os.listdir(os.path.join(out, "segments"))
+        assert len(segs) >= 2, f"expected multiple segments, got {segs}"
+
+        m = compact_segments(spark, out, dest)
+        assert m["n_docs"] == 60 and m["n_segments"] == len(segs)
+
+        searcher = IndexSearcher(spark, dest)
+        # pick terms with mid-range df: in a 60-doc sample the planted hot
+        # terms exceed df > N/2, flooring RSJ idf to 0 (all scores tie and
+        # the tie-break depends on doc_id ordering, which compaction
+        # legitimately permutes) — discriminative terms avoid that
+        from pyspark.sql import functions as F
+
+        from nyu_search_engine_spark.functions.tokenize import tokens_col
+
+        dfs = (
+            sample.select(
+                "path", F.explode(tokens_col(F.col("content"))).alias("t")
+            )
+            .distinct()
+            .groupBy("t")
+            .count()
+            .filter((F.col("count") >= 5) & (F.col("count") <= 20))
+            .orderBy("t")
+            .limit(2)
+            .collect()
+        )
+        t1, t2 = dfs[0]["t"], dfs[1]["t"]
+        for qq in [Query((t1, t2), "OR", 10),
+                   Query((t1,), "AND", 10)]:
+            got = [
+                (r["repo"], r["path"], round(r["score"], 9))
+                for r in searcher.search(qq, "pruned").collect()
+            ]
+            want = [
+                (r["repo"], r["path"], round(r["score"], 9))
+                for r in bruteforce_topk(sample, qq).collect()
+            ]
+            assert got == want, qq
+    finally:
+        sample.unpersist()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
