@@ -121,6 +121,7 @@ def _bruteforce(spark, sf_dir, terms, mode, k=10) -> DataFrame:
 
 _SEARCHERS: dict[str, "object"] = {}
 _ANN_INDEXES: dict[str, str] = {}
+_IVF_INDEXES: dict[str, str] = {}
 
 
 def _searcher(spark: SparkSession, sf_dir: str):
@@ -296,6 +297,25 @@ def build_queries() -> dict:
                  F.round("cosine", 6).alias("cosine"))
 
     q["ann_lsh_topk"] = _ann_lsh
+
+    def _ann_ivf(spark, sf):
+        # IVF scale path: deterministic sample-trained centroids, rows
+        # partitioned by nearest-centroid cluster, probes scan only the
+        # nprobe nearest clusters (partition pruning)
+        if sf not in _IVF_INDEXES:
+            root = tempfile.mkdtemp(prefix="nyu_drv_ivf_")
+            similarity.build_ivf_index(
+                _embeddings(spark, sf), "vec_id", "embedding", root,
+                k=8, iters=5, train_ids_below=256,
+            )
+            _IVF_INDEXES[sf] = root
+        return similarity.ivf_topk(
+            spark, _IVF_INDEXES[sf], _qvec(spark, sf), 10, nprobe=2,
+            exclude_id=0,
+        ).select("rank", F.col("id").alias("vec_id"),
+                 F.round("cosine", 6).alias("cosine"))
+
+    q["ann_ivf_topk"] = _ann_ivf
 
     # --- text analysis -----------------------------------------------------------
     q["text_token_stats"] = lambda spark, sf: (
@@ -652,4 +672,72 @@ SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
        vec_id, round(cosine, 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 """
+    # Exact twin of similarity.ivf_topk at the driver's sf0.01: centroids
+    # come from the SAME pure-numpy spherical k-means (kmeans_np) over the
+    # same deterministic training subset (vec_id < 256), baked as
+    # literals; the probe-cluster list is precomputed the same way
+    # ivf_topk does it. If the testdata is unreadable here, the entry
+    # simply falls back to the driver's rows-only check.
+    ivf_sql = _build_ivf_oracle()
+    if ivf_sql is not None:
+        o["ann_ivf_topk"] = ivf_sql
     return o
+
+
+def _build_ivf_oracle(k: int = 8, iters: int = 5, nprobe: int = 2):
+    try:
+        import duckdb as _dd
+        import numpy as _np
+
+        from .operators.similarity import kmeans_np
+
+        rows = _dd.sql(
+            "SELECT vec_id, embedding FROM "
+            "'/root/testdata/sf0.01/embeddings.parquet' "
+            "WHERE vec_id < 256 ORDER BY vec_id"
+        ).fetchall()
+        qrow = _dd.sql(
+            "SELECT embedding FROM "
+            "'/root/testdata/sf0.01/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchall()
+        X = _np.array([r[1] for r in rows], dtype=_np.float64)
+        cents = kmeans_np(X, k, iters)
+        q = _np.asarray(qrow[0][0], dtype=_np.float64)
+        sims = cents @ (q / _np.linalg.norm(q))
+        order = _np.lexsort((_np.arange(len(cents)), -sims))
+        probe = ", ".join(str(int(c)) for c in order[:nprobe])
+        cent_rows = ",\n    ".join(
+            f"({c}, [{', '.join(repr(float(x)) for x in cents[c])}])"
+            for c in range(k)
+        )
+        return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+c(cluster, cv) AS (VALUES
+    {cent_rows}
+),
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / sqrt(list_dot_product(e.v, e.v)) DESC, c.cluster
+           ) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM e JOIN asg USING (vec_id) CROSS JOIN q
+  WHERE asg.cluster IN ({probe}) AND e.vec_id <> 0
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+    except Exception:
+        return None

@@ -154,6 +154,116 @@ def lsh_topk_indexed(
     return topk.select(F.row_number().over(w).alias("rank"), "id", "cosine")
 
 
+def kmeans_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 8,
+    iters: int = 5, train_ids_below: int = 256,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids trained driver-side on a
+    bounded, deterministic subset (ids < train_ids_below) — the standard
+    IVF recipe: training is sample-sized regardless of corpus size, only
+    ASSIGNMENT is distributed. Init = first k training rows (deterministic
+    across partitionings); Lloyd steps maximize cosine; empty clusters
+    keep their previous centroid."""
+    rows = (
+        emb.filter(F.col(id_col) < train_ids_below)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return kmeans_np(X, k, iters)
+
+
+def kmeans_np(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Pure-numpy spherical Lloyd core (shared with the DuckDB oracle
+    builder so both sides bake the SAME centroids)."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = Xn[:k].copy()
+    for _ in range(iters):
+        cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ cents_n.T, axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, v, cluster) — nearest-centroid (max cosine) assignment, all
+    JVM-side: the centroid table is a broadcast VALUES relation; rank-1
+    per row picks the cluster (ties -> lowest centroid id)."""
+    spark = emb.sparkSession
+    cent_rows = [(int(c), [float(x) for x in centroids[c]])
+                 for c in range(len(centroids))]
+    cents = spark.createDataFrame(cent_rows, "cluster int, cv array<double>")
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+              .withColumn("vnorm", _norm(F.col("v")))
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cluster",
+        (_dot(F.col("v"), F.col("cv")) / F.col("vnorm")).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), "cluster")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("id", "v", "cluster")
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, id_col: str, vec_col: str, out_path: str,
+    k: int = 8, iters: int = 5, train_ids_below: int = 256,
+) -> dict:
+    """Persist an IVF index: rows partitioned by nearest-centroid cluster
+    (one directory per cluster -> probe-side partition pruning), centroids
+    in a _ivf_meta.json sidecar."""
+    import json
+    import os
+
+    cents = kmeans_centroids(emb, id_col, vec_col, k, iters, train_ids_below)
+    assigned = ivf_assign(emb, id_col, vec_col, cents)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(out_path)
+    meta = {"k": k, "iters": iters, "train_ids_below": train_ids_below,
+            "centroids": [[float(x) for x in c] for c in cents]}
+    with open(os.path.join(out_path, "_ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_topk(
+    spark, index_path: str, query_vec: list[float], topk: int,
+    nprobe: int = 2, exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index: scan only the
+    nprobe clusters whose centroids are nearest the query (partition
+    pruning on cluster IN (...)); exact cosine on every scanned row."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = cents @ (q / np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(cents)), -sims))
+    probe = [int(c) for c in order[:nprobe]]
+    cand = spark.read.parquet(index_path).filter(F.col("cluster").isin(probe))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = float(np.linalg.norm(q))
+    scored = cand.select(
+        "id",
+        (_dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qnorm))).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("id") != exclude_id)
+    out = scored.orderBy(F.desc("cosine"), "id").limit(topk)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), "id")
+    return out.select(F.row_number().over(w).alias("rank"), "id", "cosine")
+
+
 def lsh_topk(
     emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float],
     k: int, n_planes: int = 4, seed: int = 42, exclude_id: int | None = None,

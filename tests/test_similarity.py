@@ -87,6 +87,35 @@ def test_hyperplanes_deterministic():
     assert (a == b).all()
 
 
+def test_ivf_index_recall_exactness_and_pruning(spark, emb, tmp_path):
+    """IVF path: deterministic sample-trained centroids; probing the
+    nearest clusters returns true cosines with bounded recall loss, and
+    the probe scan partition-prunes on cluster."""
+    df, vecs = emb
+    root = str(tmp_path / "ivf_idx")
+    meta = similarity.build_ivf_index(df, "vec_id", "embedding", root,
+                                      k=8, iters=5, train_ids_below=256)
+    assert len(meta["centroids"]) == 8
+    q = vecs[3].astype(np.float64)
+    res = similarity.ivf_topk(spark, root, q.tolist(), 10, nprobe=3,
+                              exclude_id=3)
+    approx = [(r["id"], r["cosine"]) for r in res.collect()]
+    exact = _numpy_topk(vecs.astype(np.float64), q, 10, exclude=3)
+    # nprobe=3 of 8 clusters: decent overlap expected, not identity
+    assert len({a[0] for a in approx} & {e[0] for e in exact}) >= 4
+    truth = dict(_numpy_topk(vecs.astype(np.float64), q, 400))
+    for vid, cos in approx:
+        assert abs(cos - truth[vid]) < 1e-9
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt and "cluster" in txt
+
+
 def test_indexed_lsh_matches_on_the_fly_and_prunes(spark, emb, tmp_path):
     """The persisted bucket index returns IDENTICAL results to the
     per-query bucketing path, and the probe scan reads only the probed
