@@ -162,9 +162,14 @@ def run_robust() -> dict:
         plan.append(16)
     if cores > 8:
         plan.append(8)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
+    t_start = time.time()
     history = []
     attempts: list[dict] = []
     for i, c in enumerate(plan):
+        # never let retries blow a caller's timeout: publish what we have
+        if i > 0 and time.time() - t_start > budget_s:
+            break
         if i > 0:
             time.sleep(ATTEMPT_COOLDOWN_S)
         out = run(cores=c, quiet=True)
