@@ -147,27 +147,32 @@ def simhash(tf_df: DataFrame, bits: int = STOPWORD_SAFE_BITS) -> DataFrame:
 
     Input: (id, term, tf). h(term) = first 15 hex chars of md5 as a 60-bit
     int; bit j of the fingerprint is sign(sum tf * (2*bit_j(h) - 1)).
+
+    ONE shuffle, zero row blow-up: each bit's signed-tf total is a
+    conditional-sum aggregate over the un-exploded (id, term, tf) rows —
+    ``bits`` map-side-combined sums in a single groupBy(id), then the
+    fingerprint word is assembled from the ``bits`` sum columns driver-free.
+    (The old form crossJoined every row with ``bits`` bit indices and
+    shuffled twice; at 10^12 rows that 60x shuffle is a real cluster bill.)
     """
-    spark = tf_df.sparkSession
-    bit_ids = spark.range(bits).select(F.col("id").cast("int").alias("j"))
     h = tf_df.select(
         "id", "tf",
         F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
-    weights = (
-        h.crossJoin(F.broadcast(bit_ids))
-        .select(
-            "id", "j",
-            (F.col("tf") * (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1)).alias("w"),
-        )
-        .groupBy("id", "j")
-        .agg(F.sum("w").alias("w"))
-    )
-    return weights.groupBy("id").agg(
+    sums = [
         F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.col("tf")
+            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy("id").agg(*sums)
+    word = F.lit(0).cast("bigint")
+    for j in range(bits):
+        word = word + F.when(
+            F.col(f"w{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select("id", word.alias("simhash"))
 
 
 def embedding_neardup_lsh_pairs(

@@ -119,6 +119,17 @@ def test_simhash_identical_docs_equal(spark, corpus):
     assert all(v >= 0 for v in out)
 
 
+def test_simhash_single_exchange(spark):
+    # the fingerprint is ONE groupBy(id) of conditional sums — no crossJoin
+    # row blow-up, no second shuffle (VERDICT r2 #4)
+    tf = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 1), (2, "a", 2)], "id long, term string, tf long"
+    )
+    plan = dedup.simhash(tf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_embedding_neardup_pairs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
