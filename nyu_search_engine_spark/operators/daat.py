@@ -99,33 +99,78 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.n
     return ids[order], scores[order]
 
 
+AND_CHUNK_BLOCKS = 32  # rarest-list blocks per candidate chunk (~4k docs)
+
+
 def shard_topk_and(
     slices: list[tuple[str, float, TermSlice]], k: int, avgdl: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Conjunctive kernel. ``slices`` rarest-first: (term, idf, slice)."""
+    """Conjunctive kernel with block-max score pruning (the conjunctive
+    half of BMW). ``slices`` rarest-first: (term, idf, slice).
+
+    Candidates stream from the rarest list in docID-ordered chunks; a
+    running k-th score theta (from fully-scored chunks) prunes later
+    candidates BEFORE their remaining lists are probed: a candidate is
+    dropped when
+
+        score_so_far + idf_i * max_tfn_i[block(d)] + sum_{j>i} ub_j < theta
+
+    where ub_j = idf_j * max(max_tfn_j) is list j's global impact bound
+    and the middle term is the block-level bound of the list about to be
+    probed. Dropped candidates provably cannot reach the top-k (strict <,
+    so score==theta ties that win on doc_id ASC survive); survivors
+    accumulate partials in the same rarest-first float64 order, keeping
+    scores bitwise identical to the unpruned walk.
+    """
     _, idf0, s0 = slices[0]
-    ids, tfs, dls = s0.decode_all()
-    score = _partial(tfs, dls, idf0, avgdl)
-    for _, idf, sl in slices[1:]:
+    rest = slices[1:]
+    # global per-list impact upper bounds; ub_suffix[i] = sum over lists >= i
+    ub = np.array(
+        [idf * (sl.max_tfn.max() if sl.n_blocks else 0.0) for _, idf, sl in rest],
+        dtype=np.float64,
+    )
+    ub_suffix = np.concatenate([np.cumsum(ub[::-1])[::-1], [0.0]])
+    top_ids = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    for b0 in range(0, max(s0.n_blocks, 1), AND_CHUNK_BLOCKS):
+        batch = np.arange(b0, min(b0 + AND_CHUNK_BLOCKS, s0.n_blocks))
+        ids, tfs, dls = s0.decode_blocks(batch)
+        score = _partial(tfs, dls, idf0, avgdl)
+        if top_ids.size >= k:
+            keep = score + ub_suffix[0] >= theta
+            ids, score = ids[keep], score[keep]
+        for i, (_, idf, sl) in enumerate(rest):
+            if ids.size == 0:
+                break
+            # skip pointers: find each candidate's covering block first
+            blk = np.searchsorted(sl.lasts, ids)
+            ok = blk < sl.n_blocks
+            ids, score, blk = ids[ok], score[ok], blk[ok]
+            if ids.size == 0:
+                break
+            if top_ids.size >= k:
+                bound = score + idf * sl.max_tfn[blk] + ub_suffix[i + 1]
+                keep = bound >= theta
+                ids, score, blk = ids[keep], score[keep], blk[keep]
+                if ids.size == 0:
+                    break
+            # decode only blocks still overlapping surviving candidates
+            t_ids, t_tfs, t_dls = sl.decode_blocks(np.unique(blk))
+            pos = np.searchsorted(t_ids, ids)
+            hit = (pos < t_ids.size) & (t_ids[np.minimum(pos, t_ids.size - 1)] == ids)
+            ids, score, pos = ids[hit], score[hit], pos[hit]
+            if ids.size == 0:
+                break
+            score = score + _partial(t_tfs[pos], t_dls[pos], idf, avgdl)
         if ids.size == 0:
-            break
-        # skip pointers: only decode blocks overlapping surviving candidates
-        blk = np.searchsorted(sl.lasts, ids)
-        ok = blk < sl.n_blocks
-        ids, score = ids[ok], score[ok]
-        if ids.size == 0:
-            break
-        t_ids, t_tfs, t_dls = sl.decode_blocks(np.unique(blk[ok]))
-        pos = np.searchsorted(t_ids, ids)
-        hit = (pos < t_ids.size) & (t_ids[np.minimum(pos, t_ids.size - 1)] == ids)
-        ids, score, pos = ids[hit], score[hit], pos[hit]
-        if ids.size == 0:
-            break
-        score = score + _partial(t_tfs[pos], t_dls[pos], idf, avgdl)
-    if ids.size == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=np.float64)
-    return _topk(ids, score, k)
+            continue
+        top_ids = np.concatenate([top_ids, ids])
+        top_scores = np.concatenate([top_scores, score])
+        top_ids, top_scores = _topk(top_ids, top_scores, k)
+        if top_ids.size >= k:
+            theta = top_scores[-1]
+    return top_ids, top_scores
 
 
 def shard_topk_or(

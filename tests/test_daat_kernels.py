@@ -103,3 +103,43 @@ def test_and_empty_intersection():
     slices = [("a", 1.0, TermSlice(rows[0])), ("b", 1.0, TermSlice(rows[1]))]
     ids, scores = shard_topk_and(slices, 10, AVGDL)
     assert ids.size == 0 and scores.size == 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("k", [1, 5, 50])
+def test_and_kernel_multichunk_pruning_matches_bruteforce(seed, k):
+    # rarest list spans MANY candidate chunks (df >> AND_CHUNK_BLOCKS*128)
+    # so the theta-based block-max pruning path is actually exercised
+    rng = np.random.default_rng(7000 + seed)
+    slices, raw = _make_slices(rng, n_terms=3, universe=60_000,
+                               min_df=8_000, max_df=20_000)
+    ids, scores = shard_topk_and(slices, k, AVGDL)
+    got = list(zip(ids.tolist(), scores.tolist()))
+    want = _brute(raw, "AND", k)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                               rtol=0, atol=1e-12)
+
+
+def test_and_kernel_bound_pruning_skips_decodes():
+    # engineered skew: docs 0..99 carry huge tf in both lists, everything
+    # after scores far below theta -- candidates past chunk 1 must be
+    # dropped BEFORE list 2 is probed, so list 2 decodes only the blocks
+    # covering chunk-1 candidates (pruning visible in the decode cache)
+    n = 10_000
+    ids = np.arange(n, dtype=np.uint64)
+    dls = np.full(n, 400, dtype=np.uint64)
+    tf_a = np.where(ids < 100, 50, 1).astype(np.uint64)
+    tf_b = np.where(ids < 100, 50, 1).astype(np.uint64)
+    row_a = encode_term_postings(ids, tf_a, dls, AVGDL)
+    row_b = encode_term_postings(ids, tf_b, dls, AVGDL)
+    sa, sb = TermSlice(row_a), TermSlice(row_b)
+    slices = [("a", 2.0, sa), ("b", 2.0, sb)]
+    out_ids, out_scores = shard_topk_and(slices, 10, AVGDL)
+    assert out_ids.tolist() == list(range(10))  # ties -> doc_id ASC
+    # brute check of the winning score
+    want = 2 * 2.0 * float(tf_part_np(np.array([50]), np.array([400]), AVGDL)[0])
+    np.testing.assert_allclose(out_scores, np.full(10, want), rtol=0, atol=1e-12)
+    from nyu_search_engine_spark.operators.daat import AND_CHUNK_BLOCKS
+    assert sb.n_blocks > 2 * AND_CHUNK_BLOCKS
+    assert len(sb._cache) <= AND_CHUNK_BLOCKS  # later chunks never decoded b
