@@ -99,6 +99,9 @@ def run(cores: int | None = None, n_docs: int | None = None,
         }
         # warm-up (JIT, file listing, lexicon cache)
         searcher.search(qset["q_and_rare"], "pruned", decorate=False).collect()
+        # the query phase gets its own /proc/stat window: BENCH_r02 published
+        # 2.5x-degraded OR latencies because only the BUILD window was gated
+        cpu_q0 = _cpu_sample()
         lat = []
         for name, q in qset.items():
             t = time.time()
@@ -121,6 +124,7 @@ def run(cores: int | None = None, n_docs: int | None = None,
         out["batch_speedup_vs_sequential"] = round(
             sum(lat) / max(out["queries"]["q_batch_all7"], 1e-9), 2
         )
+        out["query_cpu_mix"] = _cpu_mix(cpu_q0, _cpu_sample())
         lat_sorted = sorted(lat)
         out["query_p95_s"] = round(lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 3)
         out["query_mean_s"] = round(sum(lat) / len(lat), 3)
@@ -148,14 +152,16 @@ ATTEMPT_COOLDOWN_S = 20     # noise windows on this shared VM come and go
 
 
 def run_robust() -> dict:
-    """Noise-robust publication (VERDICT r1 #6): BENCH_r01 landed in a
-    degraded-host window (42% sys) and published a 3.6x-low number.
-    Strategy: try the configured core count, retrying and then
-    downshifting (32-thread runs degrade on the shared VM while <=16
-    often stays clean), stop at the first CLEAN window (build-phase
-    sys+steal <= threshold), and otherwise publish the BEST attempt by
-    docs/sec — never the last dirty one. The JSON carries every attempt's
-    throughput + noise so a depressed number is self-explaining."""
+    """Noise-robust publication (VERDICT r1 #6, r2 #2): BENCH_r01 landed in
+    a degraded-host window (42% sys) and published a 3.6x-low number;
+    BENCH_r02 gated only the BUILD window and published a clean build with
+    2.5x-degraded query latencies. Strategy: try the configured core count,
+    retrying and then downshifting (32-thread runs degrade on the shared VM
+    while <=16 often stays clean), stop at the first window where BOTH the
+    build-phase and query-phase sys+steal are <= threshold, and otherwise
+    publish the BEST attempt by docs/sec — never the last dirty one. The
+    JSON carries every attempt's throughput + both noise windows so a
+    depressed number is self-explaining."""
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     plan = [cores, cores]
     if cores > 16:
@@ -166,20 +172,31 @@ def run_robust() -> dict:
     t_start = time.time()
     history = []
     attempts: list[dict] = []
+    last_dur = 0.0
     for i, c in enumerate(plan):
-        # never let retries blow a caller's timeout: publish what we have
-        if i > 0 and time.time() - t_start > budget_s:
+        # never let retries blow a caller's timeout: publish what we have.
+        # The last attempt's wall time estimates the next one, so an attempt
+        # that WOULD overshoot the budget is skipped, not just late ones.
+        elapsed = time.time() - t_start
+        if i > 0 and elapsed + last_dur + ATTEMPT_COOLDOWN_S > budget_s:
             break
         if i > 0:
             time.sleep(ATTEMPT_COOLDOWN_S)
+        t_att = time.time()
         out = run(cores=c, quiet=True)
-        mix = out.get("build_cpu_mix", {})
-        noise = mix.get("sys", 0.0) + mix.get("steal", 0.0)
+        last_dur = time.time() - t_att
+        bmix = out.get("build_cpu_mix", {})
+        qmix = out.get("query_cpu_mix", {})
+        b_noise = bmix.get("sys", 0.0) + bmix.get("steal", 0.0)
+        q_noise = qmix.get("sys", 0.0) + qmix.get("steal", 0.0)
+        noise = max(b_noise, q_noise)
         out["host_noise_pct"] = round(noise, 1)
         attempts.append(out)
         history.append({
             "cores": c,
             "sys_steal_pct": round(noise, 1),
+            "build_sys_steal_pct": round(b_noise, 1),
+            "query_sys_steal_pct": round(q_noise, 1),
             "docs_per_sec": out["build"]["docs_per_sec"],
             "query_mean_s": out["query_mean_s"],
         })
