@@ -13,6 +13,9 @@ equals the oracle's ORDER BY (source, CAST(doc_id AS VARCHAR)).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,16 +105,36 @@ def _bm25_result(corpus_topk: DataFrame) -> DataFrame:
     )
 
 
-_CORPORA: dict[str, DataFrame] = {}
+_CORPORA: dict[tuple[str, str], DataFrame] = {}
+_TEMPDIRS: list[str] = []
+
+
+def _register_tempdir(path: str) -> str:
+    _TEMPDIRS.append(path)
+    return path
+
+
+@atexit.register
+def _cleanup_tempdirs() -> None:
+    for p in _TEMPDIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _skey(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Session-scoped cache key: cached DataFrames/searchers are bound to
+    one SparkSession, so a restarted driver session must not hit entries
+    from the dead one (they error on use)."""
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized adapted corpus per sf_dir: one DataFrame object, so the
-    per-corpus BM25 stats cache (plans/search._corpus_stats) hits across
-    queries instead of re-tokenizing for N/avgdl every call."""
-    if sf_dir not in _CORPORA:
-        _CORPORA[sf_dir] = load_documents_corpus(spark, sf_dir)
-    return _CORPORA[sf_dir]
+    """Memoized adapted corpus per (session, sf_dir): one DataFrame object,
+    so the per-corpus BM25 stats cache (plans/search._corpus_stats) hits
+    across queries instead of re-tokenizing for N/avgdl every call."""
+    key = _skey(spark, sf_dir)
+    if key not in _CORPORA:
+        _CORPORA[key] = load_documents_corpus(spark, sf_dir)
+    return _CORPORA[key]
 
 
 def _bruteforce(spark, sf_dir, terms, mode, k=10) -> DataFrame:
@@ -119,22 +142,23 @@ def _bruteforce(spark, sf_dir, terms, mode, k=10) -> DataFrame:
     return _bm25_result(bruteforce_topk(corpus, Query(tuple(terms), mode, k)))
 
 
-_SEARCHERS: dict[str, "object"] = {}
+_SEARCHERS: dict[tuple[str, str], "object"] = {}
 _ANN_INDEXES: dict[str, str] = {}
 _IVF_INDEXES: dict[str, str] = {}
 
 
 def _searcher(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir) and cache an index over the adapted docs."""
+    """Build (once per session+sf_dir) and cache an index over the docs."""
     from .plans.build_index import build_index
     from .plans.search_index import IndexSearcher
 
-    if sf_dir not in _SEARCHERS:
-        root = tempfile.mkdtemp(prefix="nyu_drv_idx_")
+    key = _skey(spark, sf_dir)
+    if key not in _SEARCHERS:
+        root = _register_tempdir(tempfile.mkdtemp(prefix="nyu_drv_idx_"))
         corpus = load_documents_corpus(spark, sf_dir)
         build_index(spark, corpus, root, shard_size=200, n_groups=2)
-        _SEARCHERS[sf_dir] = IndexSearcher(spark, root)
-    return _SEARCHERS[sf_dir]
+        _SEARCHERS[key] = IndexSearcher(spark, root)
+    return _SEARCHERS[key]
 
 
 def _indexed(spark, sf_dir, terms, mode, k, method) -> DataFrame:
@@ -285,7 +309,7 @@ def build_queries() -> dict:
         # identical to the on-the-fly lsh_topk, and exact vs the baked-
         # hyperplane DuckDB oracle
         if sf not in _ANN_INDEXES:
-            root = tempfile.mkdtemp(prefix="nyu_drv_ann_")
+            root = _register_tempdir(tempfile.mkdtemp(prefix="nyu_drv_ann_"))
             similarity.build_ann_index(
                 _embeddings(spark, sf), "vec_id", "embedding", root,
                 n_planes=4, seed=42,
@@ -303,7 +327,7 @@ def build_queries() -> dict:
         # partitioned by nearest-centroid cluster, probes scan only the
         # nprobe nearest clusters (partition pruning)
         if sf not in _IVF_INDEXES:
-            root = tempfile.mkdtemp(prefix="nyu_drv_ivf_")
+            root = _register_tempdir(tempfile.mkdtemp(prefix="nyu_drv_ivf_"))
             similarity.build_ivf_index(
                 _embeddings(spark, sf), "vec_id", "embedding", root,
                 k=8, iters=5, train_ids_below=256,
@@ -636,15 +660,16 @@ FROM p LEFT JOIN f USING (doc_id)
 GROUP BY p.doc_id, p.text
 """
     # Exact twin of the fake frame sampler: one frame per 256-byte slice
-    # (>= 1 frame even for empty payloads), sha256 per slice.
+    # (>= 1 frame even for empty payloads), sha256 per slice. The frame
+    # index list is generated PER DOC (unnest of a per-row series), so the
+    # oracle has no fixed document-size cap — the engine path has none.
     o["multimodal_frame_sample"] = """
 WITH n AS (SELECT doc_id, text,
                   greatest((length(text) + 255) // 256, 1) AS n_frames
-           FROM documents),
-g AS (SELECT i FROM generate_series(0, 1023) s(i))  -- covers docs to 256 KiB
+           FROM documents)
 SELECT doc_id, i::INT AS frame_idx,
        sha256(substr(text, i * 256 + 1, 256)) AS frame_sha256
-FROM n CROSS JOIN g WHERE g.i < n.n_frames
+FROM n, unnest(generate_series(0, n_frames - 1)) t(i)
 """
     # Exact twin of similarity.lsh_topk: the seeded hyperplanes are baked
     # in as literals; Hamming-distance<=1 multi-probe == xor in {0,1,2,4,8}.
@@ -685,6 +710,15 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def _build_ivf_oracle(k: int = 8, iters: int = 5, nprobe: int = 2):
+    """IVF oracle with centroids trained on the SAME sf the queries run at.
+
+    The driver compares at sf0.01 (the default); scripts/driver_check.py
+    exports SPARK_GRAFT_ORACLE_SF so checking another sf dir trains the
+    oracle's centroid literals on that sf's embeddings — vec_id<256 rows
+    differ across sf dirs, so a fixed path would yield wrong expectations
+    everywhere but sf0.01.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     try:
         import duckdb as _dd
         import numpy as _np
@@ -692,13 +726,12 @@ def _build_ivf_oracle(k: int = 8, iters: int = 5, nprobe: int = 2):
         from .operators.similarity import kmeans_np
 
         rows = _dd.sql(
-            "SELECT vec_id, embedding FROM "
-            "'/root/testdata/sf0.01/embeddings.parquet' "
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
             "WHERE vec_id < 256 ORDER BY vec_id"
         ).fetchall()
         qrow = _dd.sql(
-            "SELECT embedding FROM "
-            "'/root/testdata/sf0.01/embeddings.parquet' WHERE vec_id = 0"
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            "WHERE vec_id = 0"
         ).fetchall()
         X = _np.array([r[1] for r in rows], dtype=_np.float64)
         cents = kmeans_np(X, k, iters)

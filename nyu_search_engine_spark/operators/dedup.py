@@ -201,8 +201,11 @@ def embedding_neardup_lsh_pairs(
     base = random_hyperplane_buckets(emb, id_col, vec_col, planes) \
         .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
     # probe expansion: each row joins under its own bucket and every
-    # Hamming-1 neighbor, so one equi-join on probe covers distance <= 1;
-    # keeping only (a.bucket <= probe target) halves duplicate candidates
+    # Hamming-1 neighbor, so one equi-join on probe covers distance <= 1.
+    # A row's probe values are all distinct and the b side contributes one
+    # row per (id, bucket), so each ordered pair matches exactly once; the
+    # id_a < id_b filter then keeps one row per unordered pair — no
+    # dedup pass needed.
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
@@ -223,7 +226,6 @@ def embedding_neardup_lsh_pairs(
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )
 
 

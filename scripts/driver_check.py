@@ -7,6 +7,7 @@ rows sorted, values stringified with float rounding)."""
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 import time
 
@@ -16,6 +17,8 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# sf-dependent oracles (IVF centroid literals) must train on the SAME sf
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 TABLES = [
