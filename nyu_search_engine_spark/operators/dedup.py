@@ -186,6 +186,14 @@ def embedding_neardup_lsh_pairs(
     cosine on every emitted pair; deterministic planes => exact DuckDB
     oracle. Recall is bounded by the blocking (pairs differing in >1 sign
     bit are not candidates — that is the documented approximation).
+
+    Sizing: within a bucket the join is still quadratic, so pick
+    n_planes ~ ceil(log2(n_rows / target_bucket_rows)) to keep
+    (n/2^n_planes)^2 * 2^n_planes = n^2 / 2^n_planes comparisons bounded
+    — at 10^9 rows, n_planes=20 caps the candidate volume near 10^12
+    instead of 10^18. Near-dup pairs are ~parallel vectors, so recall
+    stays high as planes grow (each plane splits a near-dup pair with
+    probability ~angle/pi ~ 0); the default n_planes=4 is demo-scale.
     """
     from .similarity import hyperplanes, random_hyperplane_buckets
 

@@ -5,6 +5,16 @@ approximate paths); random-hyperplane LSH bucketing is the scale path —
 bucket cardinality ~n/2^planes turns the O(n^2) scan into a bucket-local
 one. Dot products stay JVM-side (zip_with + aggregate fold, codegen'd);
 the batch variant broadcasts the (small) query side.
+
+Sizing for scale (the defaults are DEMO-scale: n_planes=4 => 16 buckets):
+pick  n_planes ~ ceil(log2(n_rows / target_bucket_rows)).  A probe scans
+(n_planes + 1) buckets (Hamming<=1 multi-probe), i.e. expected
+(n_planes + 1) * n / 2^n_planes rows — at 10^9 rows and n_planes=14 that
+is ~9e5 rows per query instead of 10^9. Recall falls as planes grow
+(each plane is an independent chance to separate a true neighbor), so at
+high plane counts either raise the probe radius or, like FAISS, prefer
+the IVF path (nprobe scales recall independently of bucket count).
+test_similarity covers n_planes=10 recall + pruning on clustered data.
 """
 
 from __future__ import annotations

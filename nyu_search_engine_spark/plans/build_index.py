@@ -31,6 +31,8 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -220,13 +222,24 @@ def build_index(
             _write_conf()
     elif use_recorded_bounds:
         # derive shard from the recorded bounds: index of the first shard
-        # whose max doc_id >= this doc_id (bounds are contiguous ranges)
-        mx_arr = F.array(*[F.lit(int(m)) for _, m in shard_bounds])
-        pid_arr = F.array(*[F.lit(int(s)) for s, _ in shard_bounds])
-        idx = F.size(F.filter(mx_arr, lambda x: x < F.col("doc_id")))
-        per_doc = tokenized.withColumn(
-            "shard", F.element_at(pid_arr, idx + F.lit(1))
-        )
+        # whose max doc_id >= this doc_id (bounds are contiguous ranges).
+        # Arrow-vectorized binary search — O(log S) per row. The previous
+        # form filtered a literal array per row: an O(S) expression tree
+        # that is fine at 32 shards but a giant per-row scan at the 10^5
+        # shards a 10^12-doc build implies.
+        mxs = np.array([int(m) for _, m in shard_bounds], dtype=np.int64)
+        pids = np.array([int(s) for s, _ in shard_bounds], dtype=np.int64)
+
+        @F.pandas_udf("int")
+        def _shard_of(doc_id: pd.Series) -> pd.Series:
+            # bounds cover the whole corpus by construction (recorded from
+            # the first run's per-shard max doc_id); clip only guards the
+            # gather against a corrupt conf
+            idx = np.searchsorted(mxs, doc_id.to_numpy(), side="left")
+            idx = np.minimum(idx, mxs.size - 1)
+            return pd.Series(pids[idx].astype("int32"))
+
+        per_doc = tokenized.withColumn("shard", _shard_of("doc_id"))
     else:
         per_doc = tokenized.withColumn(
             "shard", (F.col("doc_id") / shard_size).cast("int")

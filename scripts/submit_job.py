@@ -11,6 +11,9 @@ Package and submit:
         scripts/submit_job.py search --index <index_root> --query "terms..." \
         [--mode AND|OR] [--k 10]
     spark-submit --py-files /tmp/nyu_engine.zip \
+        scripts/submit_job.py search-batch --index <index_root> \
+        --queries <file-of-query-lines> [--mode AND|OR] [--k 10] [--decorate]
+    spark-submit --py-files /tmp/nyu_engine.zip \
         scripts/submit_job.py bench-synth --n-docs 100000 --out <index_root>
 
 In cluster mode the session comes from spark-submit's conf (master,
@@ -64,6 +67,29 @@ def cmd_search(args) -> None:
         print(json.dumps(r.asDict(), default=str))
 
 
+def cmd_search_batch(args) -> None:
+    """Answer a FILE of queries in one Spark job chain (the reference
+    REPL's workload shape): one line per query, `--mode`/`--k` apply to
+    every line. All queries ride a single lexicon probe + one postings
+    scan via IndexSearcher.search_batch; output rows are (query_id, rank,
+    doc_id, score[, repo, path, commit]) with query_id = 0-based line
+    number, bitwise identical to running each line through `search`."""
+    from nyu_search_engine_spark.plans.search import Query
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+
+    spark = _spark(args)
+    searcher = IndexSearcher(spark, args.index)
+    with open(args.queries) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    batch = {
+        i: Query.parse(ln, mode=args.mode, k=args.k) for i, ln in enumerate(lines)
+    }
+    res = searcher.search_batch(batch, decorate=args.decorate)
+    order = ["query_id", "rank"]
+    for r in res.orderBy(*order).collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_bench_synth(args) -> None:
     from nyu_search_engine_spark.plans.build_index import build_index
     from nyu_search_engine_spark.synth import synth_corpus
@@ -94,6 +120,16 @@ def main() -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--method", default="pruned", choices=["pruned", "exhaustive"])
     s.set_defaults(fn=cmd_search)
+
+    sb = sub.add_parser("search-batch")
+    sb.add_argument("--index", required=True)
+    sb.add_argument("--queries", required=True,
+                    help="file of query lines (terms separated by spaces)")
+    sb.add_argument("--mode", default="OR", choices=["AND", "OR"])
+    sb.add_argument("--k", type=int, default=10)
+    sb.add_argument("--decorate", action="store_true",
+                    help="join (repo, path, commit) from the doc table")
+    sb.set_defaults(fn=cmd_search_batch)
 
     bs = sub.add_parser("bench-synth")
     bs.add_argument("--n-docs", type=int, default=100000)

