@@ -77,6 +77,40 @@ def tokenize_tf(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "doclen": dl_out})
 
 
+def tokens_tf_cols(content: Column) -> Column:
+    """Fused tokenize + tf ENTIRELY JVM-side (no Python at all): sort the
+    token array, find run starts, and diff consecutive run starts into
+    counts. Returns struct(terms array<string>, tfs array<int>, doclen int)
+    with the same (terms sorted ASC, parallel tfs) contract as
+    ``tokenize_tf`` — tokens are pure ASCII [a-z0-9]+, so Spark's binary
+    string sort and numpy's object sort agree. O(doclen log doclen) per
+    row inside whole-stage codegen; the third arm of the tokenizer A/B
+    (VERDICT r2 #5).
+    """
+    ts = F.array_sort(tokens_col(content))
+    n = F.size(ts)
+    # 0-based run-start positions: i == 0 or ts[i-1] != ts[i]
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0)) | (F.element_at(ts, i) != F.element_at(ts, i + 1)),
+    )
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    terms = F.transform(starts, lambda i: F.element_at(ts, i + 1))
+    tfs = F.zip_with(starts, nexts, lambda a, b: (b - a).cast("int"))
+    empty = F.struct(
+        F.array().cast("array<string>").alias("terms"),
+        F.array().cast("array<int>").alias("tfs"),
+        F.lit(0).alias("doclen"),
+    )
+    return F.when(
+        n > 0,
+        F.struct(terms.alias("terms"), tfs.alias("tfs"), n.alias("doclen")),
+    ).otherwise(empty)
+
+
 def duckdb_tokens_cte(doc_expr: str, content_expr: str, relation: str) -> str:
     """DuckDB CTE body yielding (doc, term) one row per kept occurrence.
 

@@ -44,7 +44,7 @@ from ..constants import (
     POSTINGS_DIR,
     STATS_DIR,
 )
-from ..functions.tokenize import tokenize_tf, tokens_col
+from ..functions.tokenize import tokenize_tf, tokens_col, tokens_tf_cols
 from ..operators.assemble import POSTINGS_SCHEMA, assemble_postings
 from ..operators.docids import assign_doc_ids
 from ..sources.index_io import table_path
@@ -158,15 +158,22 @@ def build_index(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     else:
-        # Arrow tokenizer: fused tokenize+tf pandas UDF (one row per
-        # (doc, term) into the sort instead of one per occurrence)
+        # Fused tokenize+tf: one row per (doc, term) into the sort instead
+        # of one per occurrence. "arrow" = pandas UDF; "jvm_tf" = pure
+        # column expressions (array_sort + run-start diffs, zero Python)
+        if tokenizer == "arrow":
+            tk_expr = tokenize_tf("content")
+        elif tokenizer == "jvm_tf":
+            tk_expr = tokens_tf_cols(F.col("content"))
+        else:
+            raise ValueError(f"unknown tokenizer {tokenizer!r}")
         tokenized = (
             assigned
             .select(
                 "doc_id", "repo", "path", "commit", "lang",
                 *(["shard"] if fast_mode else []),
                 F.sha2(F.col("content"), 256).alias("sha256"),
-                tokenize_tf("content").alias("tk"),
+                tk_expr.alias("tk"),
             )
             .select(
                 "doc_id", "repo", "path", "commit", "lang", "sha256",

@@ -68,3 +68,45 @@ def test_duckdb_cte_agrees(corpus_pdf):
     got = got.sort_values(["doc", "term"]).reset_index(drop=True)
     assert (got["doc"].to_numpy() == want["doc"].to_numpy()).all()
     assert (got["term"].to_numpy() == want["term"].to_numpy()).all()
+
+
+def test_tokens_tf_cols_agrees(spark):
+    """The pure-JVM fused tokenize+tf (tokens_tf_cols) returns the same
+    (sorted terms, tfs, doclen) as the Arrow UDF on goldens + null."""
+    from collections import Counter
+
+    from nyu_search_engine_spark.functions.tokenize import tokens_tf_cols
+
+    texts = [t for t, _ in GOLDENS] + [None]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    got = df.select(tokens_tf_cols(F.col("content")).alias("tk")).collect()
+    for text, row in zip(texts, got):
+        toks = tokenize_py(text) if text is not None else []
+        want = sorted(Counter(toks).items())
+        assert list(zip(row["tk"]["terms"], row["tk"]["tfs"])) == want
+        assert row["tk"]["doclen"] == len(toks)
+
+
+def test_build_with_jvm_tf_tokenizer_rank_identical(spark, corpus, tmp_path):
+    """An index built with tokenizer='jvm_tf' is byte-identical to the
+    default Arrow build (same postings, same lexicon)."""
+    import os
+
+    from nyu_search_engine_spark.plans.build_index import build_index
+    from nyu_search_engine_spark.sources import index_io
+
+    a_root, b_root = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, corpus, a_root, shard_size=80, n_groups=2,
+                parallel_groups=False, tokenizer="arrow")
+    build_index(spark, corpus, b_root, shard_size=80, n_groups=2,
+                parallel_groups=False, tokenizer="jvm_tf")
+
+    def fp(root):
+        df = index_io.read_postings(spark, root)
+        return sorted(
+            (r["shard"], r["term"], r["df"], bytes(r["doc_ids_vb"]).hex(),
+             bytes(r["tfs_vb"]).hex(), bytes(r["doclens_vb"]).hex())
+            for r in df.collect()
+        )
+
+    assert fp(a_root) == fp(b_root)
