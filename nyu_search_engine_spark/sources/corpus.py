@@ -16,17 +16,30 @@ from pyspark.sql import functions as F
 CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
 
 
-def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+def load_corpus(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Read a corpus table already in the input_hint shape.
 
-    Iceberg when a catalog is configured; plain Parquet otherwise (the
-    sandbox image ships no Iceberg jars — same columnar scan, pushdown
-    and pruning semantics apply).
+    ``fmt``: "iceberg" | "parquet" | None (auto: Iceberg when a catalog +
+    runtime jar are configured, plain Parquet otherwise). The sandbox
+    image ships NO Iceberg jars, so the Iceberg branch is untestable
+    here (README "Iceberg" section); both branches are the same columnar
+    scan with pushdown + pruning semantics, and the explicit ``fmt``
+    seam lets a jar-equipped environment drive the Iceberg path directly.
     """
+    if fmt == "iceberg":
+        return _load_iceberg(spark, path)
+    if fmt == "parquet":
+        return spark.read.parquet(path).select(*CORPUS_COLS)
+    if fmt is not None:
+        raise ValueError(f"unknown corpus format {fmt!r}")
     try:
-        return spark.read.format("iceberg").load(path).select(*CORPUS_COLS)
+        return _load_iceberg(spark, path)
     except Exception:
         return spark.read.parquet(path).select(*CORPUS_COLS)
+
+
+def _load_iceberg(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format("iceberg").load(path).select(*CORPUS_COLS)
 
 
 def adapt_documents(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Tokenizer A/B/C at large corpus size (VERDICT r2 #5).
+
+The round-2 tradeoff (Arrow fused tokenize+tf beats JVM-occurrence
+tokenize end-to-end at 100k docs because its cached per-doc rows are ~4x
+smaller) is cache-size dependent; this script re-measures at >= 1M docs
+where neither intermediate fits comfortably in memory, and adds the
+third arm: tokens_tf_cols — pure-JVM fused tokenize+tf (no Python, one
+row per (doc, term)).
+
+Each (variant, trial) runs in a fresh JVM subprocess; trials are
+interleaved across variants so a host-noise window cannot favor one arm.
+Per run it reports docs-stage seconds, total build wall, docs/sec, and
+the build-phase CPU mix (sys+steal gate like bench.py). Results go to
+BENCH/TOKENIZER_AB.md.
+
+Usage: python scripts/tokenizer_ab.py [n_docs] [n_trials] [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+VARIANTS = ["arrow", "jvm_tf", "jvm"]
+
+
+def run_one(tokenizer: str) -> dict:
+    code = f"""
+import sys, json, time, tempfile, shutil
+sys.path.insert(0, '/root/repo')
+from nyu_search_engine_spark.session import get_spark
+from nyu_search_engine_spark.synth import synth_corpus
+from nyu_search_engine_spark.plans.build_index import build_index
+
+def cpu():
+    with open('/proc/stat') as fh:
+        return list(map(int, fh.readline().split()[1:9]))
+
+spark = get_spark(app_name='tok_ab', cores={CORES})
+corpus = synth_corpus(spark, {N_DOCS}).persist()
+corpus.count()
+warm = tempfile.mkdtemp(prefix='tok_ab_warm_')
+build_index(spark, synth_corpus(spark, 2000), warm, n_groups=1,
+            resume=False, tokenizer='{tokenizer}')
+shutil.rmtree(warm, ignore_errors=True)
+root = tempfile.mkdtemp(prefix='tok_ab_')
+c0 = cpu(); t0 = time.time()
+m = build_index(spark, corpus, root, n_groups=4, tokenizer='{tokenizer}')
+wall = time.time() - t0
+c1 = cpu()
+d = [b - a for a, b in zip(c0, c1)]
+tot = max(1, sum(d))
+names = ['user','nice','sys','idle','iowait','irq','softirq','steal']
+mix = {{n: round(100*v/tot, 1) for n, v in zip(names, d)}}
+shutil.rmtree(root, ignore_errors=True)
+print('RESULT ' + json.dumps({{
+    'tokenizer': '{tokenizer}', 'wall_s': round(wall, 1),
+    'docs_stage_s': round(m['docs_stage_s'], 1),
+    'docs_per_sec': round(m['n_docs']/wall, 1),
+    'postings_per_sec': round(m['n_postings']/wall, 1),
+    'n_postings': m['n_postings'],
+    'sys_steal_pct': round(mix['sys'] + mix['steal'], 1)}}))
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=5400)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"{tokenizer} failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    t0 = time.time()
+    results: dict[str, list[dict]] = {v: [] for v in VARIANTS}
+    for t in range(N_TRIALS):
+        for v in VARIANTS:
+            r = run_one(v)
+            results[v].append(r)
+            print(f"trial {t} {v}: {r['docs_per_sec']} docs/s, "
+                  f"docs stage {r['docs_stage_s']}s, wall {r['wall_s']}s, "
+                  f"noise {r['sys_steal_pct']}%", flush=True)
+
+    rows = ""
+    best = {}
+    for v in VARIANTS:
+        b = max(results[v], key=lambda r: r["docs_per_sec"])
+        best[v] = b
+        for i, r in enumerate(results[v]):
+            rows += (f"| {v} trial {i} | {r['docs_per_sec']:,.1f} | "
+                     f"{r['docs_stage_s']} | {r['wall_s']} | "
+                     f"{r['sys_steal_pct']}% |\n")
+    winner = max(best, key=lambda v: best[v]["docs_per_sec"])
+    md = f"""# Tokenizer A/B/C at {N_DOCS:,} docs (local[{CORES}])
+
+Three fused-tokenize strategies for the docs stage, measured end-to-end
+(full index build, fresh JVM per run, trials interleaved across variants):
+
+- **arrow** — pandas UDF fusing tokenize + tf (one (doc,term) row out)
+- **jvm_tf** — pure column expressions: array_sort + run-start diffs
+  (one (doc,term) row out, zero Python)
+- **jvm** — codegen tokenize only; tf counting happens in the assembly
+  kernel's run-collapse (one row per token OCCURRENCE out)
+
+| run | docs/sec | docs stage s | build wall s | sys+steal |
+| --- | --- | --- | --- | --- |
+{rows}
+Best per variant: {json.dumps({v: best[v] for v in VARIANTS}, indent=2)}
+
+**Winner at {N_DOCS:,} docs: {winner}** ({best[winner]['docs_per_sec']:,.1f}
+docs/s best trial).
+"""
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/TOKENIZER_AB.md", "w") as fh:
+        fh.write(md)
+    print(f"winner: {winner}; wrote BENCH/TOKENIZER_AB.md "
+          f"in {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()

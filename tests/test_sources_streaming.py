@@ -146,3 +146,28 @@ def test_compact_segments_queryable(spark, corpus):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_load_corpus_format_seam(spark, corpus, tmp_path):
+    """Explicit fmt= seam: parquet branch reads the input_hint shape;
+    the iceberg branch fails cleanly without runtime jars (sandbox has
+    none — README 'Iceberg'); auto mode falls back to parquet."""
+    import pytest as _pytest
+
+    from nyu_search_engine_spark.sources.corpus import CORPUS_COLS, load_corpus
+
+    path = str(tmp_path / "corpus_pq")
+    corpus.write.mode("overwrite").parquet(path)
+    n = corpus.count()
+
+    out = load_corpus(spark, path, fmt="parquet")
+    assert out.columns == CORPUS_COLS and out.count() == n
+
+    auto = load_corpus(spark, path)  # no jars -> parquet fallback
+    assert auto.count() == n
+
+    with _pytest.raises(Exception):
+        load_corpus(spark, path, fmt="iceberg").collect()
+
+    with _pytest.raises(ValueError):
+        load_corpus(spark, path, fmt="orc-ish")
