@@ -163,9 +163,13 @@ def run_robust() -> dict:
     JSON carries every attempt's throughput + both noise windows so a
     depressed number is self-explaining."""
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # cap at 16 threads: each pyspark worker adds ~200MB RSS, and guest
+    # memory past ~16 GiB hits the host's slow-fault cliff (session.py) —
+    # 32-thread attempts have NEVER passed the noise gate on this VM
+    # (r1: 42% sys, r2: 47-62%, measured fault costs 165-900us) while
+    # <=16 regularly does. More threads past the cliff = slower, not faster.
+    cores = min(cores, 16)
     plan = [cores, cores]
-    if cores > 16:
-        plan.append(16)
     if cores > 8:
         plan.append(8)
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))

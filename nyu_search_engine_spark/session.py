@@ -33,7 +33,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 8g, NOT "most of the machine": this sandbox's host fast-backs
+        # only ~16 GiB of guest memory — first-touch minor faults cost
+        # ~3.5us below that watermark and 165-900us above it (measured,
+        # BENCH/BASELINE.md "host memory cliff"). A 48g heap let the JVM
+        # balloon past the cliff on big builds, after which EVERY fresh
+        # page (heap, python workers, page cache) crawled kernel-bound;
+        # 8g heap + N pyspark workers + page cache stays under it (a 12g
+        # heap measured 17 GiB total RSS — still over). On a real
+        # cluster, size executors to physical memory as usual.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
