@@ -235,7 +235,8 @@ Raw JSON (best trials):
 ```
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}.md"
+    tag = f"{N_DOCS // 1000}k" if N_DOCS < 1_000_000 else f"{N_DOCS // 1_000_000}M"
+    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}.md"
     with open(out_md, "w") as fh:
         fh.write(md)
     print(f"eff(docs/sec) = {eff:.3f}; eff(postings/sec) = {eff_p:.3f}; "
