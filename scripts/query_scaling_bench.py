@@ -1,0 +1,292 @@
+"""Query-phase scaling at two parallelism levels (north-rule metric:
+"query latency p95" + N->4N scaling evidence; complements
+scripts/scaling_bench.py which measures the BUILD phase).
+
+The index is built ONCE (index bytes are deterministic and
+parallelism-independent — test_docids.py / test_fastmode.py), then both
+levels query the SAME on-disk index from fresh JVMs:
+
+  * latency: the 7 fixture query shapes, pruned BMW path, warm index,
+    3 reps each (min published — a latency floor is the right proxy in
+    a steal-prone sandbox, and all reps are recorded);
+  * throughput: a deterministic 96-query mixed workload (AND/OR over
+    common / mid-frequency / hot / rare terms, seed 7) answered via the
+    batched API — one postings scan per batch, kernel work across all
+    32 shards dominates the per-job floor, so this is the number that
+    is MEANT to scale with cores. Efficiency = QPS@4N / (4 x QPS@N).
+
+Single-query latency does NOT scale 4x at this corpus size and is not
+claimed to: each query is one short Spark job whose job-launch floor
+(~0.3-0.5 s) dominates kernel time; the batched workload is the
+throughput path (SURVEY §2.5) and the one graded for scaling here.
+
+Every trial is gated like the build bench: pre-trial ambient-steal +
+fault-cost probe, /proc/stat window around the timed phase, trials
+interleaved (N,4N,N,4N,...) until each level has a clean one.
+
+Usage: python scripts/query_scaling_bench.py [n_docs] [max_pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from hostwindow import (  # noqa: E402
+    cpu_mix, cpu_sample, wait_for_clean_window,
+)
+
+LEVEL_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+LEVEL_4N = 4 * LEVEL_N
+NOISE_THRESHOLD_PCT = 15.0
+N_BATCH_QUERIES = 96
+LAT_REPS = 3
+BATCH_REPS = 2
+
+
+def fixture_queries():
+    from nyu_search_engine_spark.plans.search import Query
+    return {
+        "q_and_rare": Query(("rareterm00", "rareterm01"), "AND", 10),
+        "q_and_mixed": Query(("rareterm02", "hotterm0"), "AND", 10),
+        "q_and_hot": Query(("hotterm0", "hotterm1", "hotterm2"), "AND", 10),
+        "q_or_rare": Query(("rareterm05", "rareterm06"), "OR", 10),
+        "q_or_mixed": Query(("hotterm0", "rareterm07"), "OR", 10),
+        "q_or_hot": Query(("hotterm0", "hotterm1", "hotterm2", "hotterm3"), "OR", 10),
+        "q_or_common": Query(("def", "return", "class"), "OR", 10),
+    }
+
+
+def big_query_set(n: int = N_BATCH_QUERIES):
+    """Deterministic mixed workload over the synth vocabulary (seed 7)."""
+    import numpy as np
+
+    from nyu_search_engine_spark.plans.search import Query
+    from nyu_search_engine_spark.synth import HOT_TERMS, RARE_TERMS, vocab
+
+    core = vocab()[: -(len(HOT_TERMS) + len(RARE_TERMS) + 1)]
+    rng = np.random.default_rng(7)
+    qs = []
+    for i in range(n):
+        mode = "AND" if i % 3 == 0 else "OR"
+        nt = 2 + i % 3
+        kind = i % 4
+        if kind == 0:      # common terms (head of the Zipf core)
+            terms = rng.choice(core[:100], nt, replace=False)
+        elif kind == 1:    # mid-frequency terms
+            terms = rng.choice(core[100:2000], nt, replace=False)
+        elif kind == 2:    # hot + common mix
+            terms = [HOT_TERMS[i % len(HOT_TERMS)], *rng.choice(
+                core[:500], nt - 1, replace=False)]
+        else:              # rare + common mix (AND arms often empty — fine)
+            terms = [RARE_TERMS[i % len(RARE_TERMS)], *rng.choice(
+                core[:500], nt - 1, replace=False)]
+        qs.append(Query(tuple(str(t) for t in terms), mode, 10))
+    return qs
+
+
+def worker_main(cores: int, index_root: str) -> None:
+    """Runs inside a fresh JVM subprocess; prints one RESULT json line."""
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+    from nyu_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name=f"qscale_{cores}", cores=cores)
+    searcher = IndexSearcher(spark, index_root)
+    fixtures = fixture_queries()
+    big = big_query_set()
+
+    # warm: JIT, parquet footers, lexicon cache, python-worker imports
+    for q in fixtures.values():
+        searcher.search(q, "pruned", decorate=False).collect()
+    searcher.search_batch(dict(enumerate(big[:8]))).count()
+
+    c0 = cpu_sample()
+    t_phase = time.time()
+    lat: dict[str, list[float]] = {name: [] for name in fixtures}
+    for _ in range(LAT_REPS):
+        for name, q in fixtures.items():
+            t = time.time()
+            searcher.search(q, "pruned", decorate=False).collect()
+            lat[name].append(round(time.time() - t, 3))
+    batch_walls = []
+    batch_rows = 0
+    for _ in range(BATCH_REPS):
+        t = time.time()
+        batch_rows = searcher.search_batch(dict(enumerate(big))).count()
+        batch_walls.append(round(time.time() - t, 3))
+    mix = cpu_mix(c0, cpu_sample())
+    phase_s = time.time() - t_phase
+
+    best = {k: min(v) for k, v in lat.items()}
+    ordered = sorted(best.values())
+    p95 = ordered[max(0, int(len(ordered) * 0.95) - 1)]
+    print("RESULT " + json.dumps({
+        "cores": cores,
+        "lat_reps": lat,
+        "lat_best": best,
+        "lat_mean_s": round(sum(best.values()) / len(best), 3),
+        "lat_p95_s": round(p95, 3),
+        "batch_walls_s": batch_walls,
+        "batch_rows": batch_rows,
+        "batch_qps": round(N_BATCH_QUERIES / min(batch_walls), 2),
+        "query_cpu_mix": mix,
+        "phase_s": round(phase_s, 1),
+    }), flush=True)
+    spark.stop()
+
+
+def build_shared_index(n_docs: int, index_root: str) -> None:
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from nyu_search_engine_spark.session import get_spark\n"
+        "from nyu_search_engine_spark.synth import synth_corpus\n"
+        "from nyu_search_engine_spark.plans.build_index import build_index\n"
+        f"spark = get_spark(app_name='qscale_build', cores={LEVEL_4N})\n"
+        f"corpus = synth_corpus(spark, {n_docs}).persist(); corpus.count()\n"
+        f"m = build_index(spark, corpus, {index_root!r}, n_groups=4)\n"
+        "print('BUILT', m['n_postings'])\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=5400)
+    if "BUILT" not in out.stdout:
+        raise RuntimeError(f"index build failed:\n{out.stderr[-3000:]}")
+
+
+def run_trial(cores: int, index_root: str) -> dict:
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo/scripts')\n"
+        "from query_scaling_bench import worker_main\n"
+        f"worker_main({cores}, {index_root!r})\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"trial local[{cores}] failed:\n{out.stderr[-3000:]}")
+
+
+def noise_of(r: dict) -> float:
+    q = r.get("query_cpu_mix", {})
+    return round(q.get("sys", 0.0) + q.get("steal", 0.0), 1)
+
+
+def is_clean(r: dict) -> bool:
+    return noise_of(r) <= NOISE_THRESHOLD_PCT
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    max_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    t0 = time.time()
+    index_root = tempfile.mkdtemp(prefix="qscale_idx_")
+    try:
+        wait_for_clean_window()
+        print(f"building shared {n_docs:,}-doc index at local[{LEVEL_4N}]...",
+              flush=True)
+        build_shared_index(n_docs, index_root)
+
+        trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
+        for t in range(max_pairs):
+            for cores in (LEVEL_N, LEVEL_4N):
+                wait_for_clean_window()
+                r = run_trial(cores, index_root)
+                trials[cores].append(r)
+                print(f"pair {t} local[{cores}]: qps {r['batch_qps']}, "
+                      f"lat mean {r['lat_mean_s']}s p95 {r['lat_p95_s']}s, "
+                      f"noise {noise_of(r)}% "
+                      f"({'clean' if is_clean(r) else 'DIRTY'})", flush=True)
+            if any(is_clean(r) for r in trials[LEVEL_N]) and any(
+                    is_clean(r) for r in trials[LEVEL_4N]):
+                break
+
+        def best_of(rs):
+            clean = [r for r in rs if is_clean(r)]
+            pool = clean or rs
+            return max(pool, key=lambda r: r["batch_qps"]), bool(clean)
+
+        bN, cN = best_of(trials[LEVEL_N])
+        b4, c4 = best_of(trials[LEVEL_4N])
+        eff = b4["batch_qps"] / (4 * bN["batch_qps"])
+
+        trial_rows = ""
+        for cores in (LEVEL_N, LEVEL_4N):
+            for i, r in enumerate(trials[cores]):
+                trial_rows += (
+                    f"| local[{cores}] trial {i} | {r['batch_qps']} | "
+                    f"{r['lat_mean_s']} | {r['lat_p95_s']} | {noise_of(r)}% | "
+                    f"{'clean' if is_clean(r) else 'dirty'} |\n")
+
+        lat_rows = "".join(
+            f"| {name} | {bN['lat_best'][name]} | {b4['lat_best'][name]} |\n"
+            for name in bN["lat_best"])
+
+        tag = (f"{n_docs // 1000}k" if n_docs < 1_000_000
+               else f"{n_docs // 1_000_000}M")
+        md = f"""# BENCH/QUERY_SCALING — warm-index query phase at two parallelism levels
+
+Same deterministic {n_docs:,}-doc index (built once — index bytes are
+parallelism-independent), queried from fresh JVMs at local[{LEVEL_N}]
+(N) and local[{LEVEL_4N}] (4N). Pre-trial clean-window probe + per-trial
+/proc/stat noise window (sys+steal <= {NOISE_THRESHOLD_PCT}% = clean);
+interleaved trials; best clean trial per level published.
+**Both published levels clean: {bool(cN and c4)}.**
+
+## Throughput (the number meant to scale): {N_BATCH_QUERIES}-query mixed batch
+
+AND/OR over common/mid/hot/rare terms (seed 7), batched API — one
+postings scan + per-shard multi-query kernels per batch, best of
+{BATCH_REPS} reps:
+
+| metric | local[{LEVEL_N}] (N) | local[{LEVEL_4N}] (4N) | efficiency QPS@4N / (4 x QPS@N) |
+| --- | --- | --- | --- |
+| batch throughput (queries/s) | {bN['batch_qps']} | {b4['batch_qps']} | **{eff:.3f}** |
+| batch result rows | {bN['batch_rows']} | {b4['batch_rows']} | |
+| query-phase sys+steal % | {noise_of(bN)} | {noise_of(b4)} | |
+
+## Single-query latency (floor-dominated, NOT claimed to scale 4x)
+
+Each query is one short Spark job; its ~0.3-0.5 s job-launch floor
+dominates kernel time at this corpus size, so per-query latency improves
+with cores but cannot scale linearly — the batched path above is the
+throughput road. Min of {LAT_REPS} reps, warm index, pruned BMW path:
+
+| query | local[{LEVEL_N}] s | local[{LEVEL_4N}] s |
+| --- | --- | --- |
+{lat_rows}| mean | {bN['lat_mean_s']} | {b4['lat_mean_s']} |
+| p95 | {bN['lat_p95_s']} | {b4['lat_p95_s']} |
+
+All trials (interleaved execution order):
+
+| run | batch qps | lat mean s | lat p95 s | query sys+steal | window |
+| --- | --- | --- | --- | --- | --- |
+{trial_rows}
+Raw JSON (best trials):
+
+```json
+{json.dumps({'levelN': bN, 'level4N': b4,
+             'qps_scaling_efficiency': round(eff, 4),
+             'both_levels_clean': bool(cN and c4)}, indent=2)}
+```
+"""
+        out_md = f"/root/repo/BENCH/QUERY_SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}.md"
+        with open(out_md, "w") as fh:
+            fh.write(md)
+        print(f"qps eff = {eff:.3f}; both_clean = {bool(cN and c4)}; "
+              f"wrote {out_md} in {time.time() - t0:.0f}s", flush=True)
+    finally:
+        shutil.rmtree(index_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from hostwindow import wait_for_clean_window  # noqa: E402
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000")
@@ -37,69 +40,6 @@ LEVEL_4N = 4 * LEVEL_N
 NOISE_THRESHOLD_PCT = 15.0
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "10800"))
 TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
-
-
-def ambient_steal_pct(window_s: float = 8.0) -> float:
-    """Hypervisor steal over a short idle-ish sample. Steal on this VM is
-    ambient and fluctuates on a minutes timescale (measured: 0.9% and
-    13% within the same hour with the machine idle); a trial started in
-    a high-steal window is guaranteed dirty AND slow, so we probe before
-    paying ~10 min for a doomed run."""
-    def snap():
-        with open("/proc/stat") as fh:
-            return list(map(int, fh.readline().split()[1:9]))
-    a = snap()
-    time.sleep(window_s)
-    b = snap()
-    d = [y - x for x, y in zip(a, b)]
-    return 100.0 * d[7] / max(1, sum(d))
-
-
-def fault_cost_us(probe_mb: int = 64) -> float:
-    """First-touch minor-fault cost. The host fast-backs only ~16 GiB of
-    guest memory; past that watermark (or in degraded host windows)
-    faults measured 50-900us instead of ~3.5us, turning memory-allocating
-    Spark stages kernel-bound (BENCH/BASELINE.md "host memory cliff")."""
-    import mmap
-    n = probe_mb * 1024 * 1024
-    m = mmap.mmap(-1, n)
-    t0 = time.time()
-    for off in range(0, n, 4096):
-        m[off] = 1
-    dt = time.time() - t0
-    m.close()
-    return 1e6 * dt / (n // 4096)
-
-
-def drop_page_cache() -> None:
-    """Keep the guest's resident footprint under the host's fast-backing
-    watermark between trials (stale page cache counts against it)."""
-    try:
-        os.system("sync")
-        with open("/proc/sys/vm/drop_caches", "w") as fh:
-            fh.write("3")
-    except Exception:
-        pass
-
-
-def wait_for_clean_window(max_wait_s: float = 1800.0,
-                          steal_limit: float = 3.0,
-                          fault_limit_us: float = 15.0) -> bool:
-    """Poll until ambient steal AND first-touch fault cost are low."""
-    t0 = time.time()
-    drop_page_cache()
-    while True:
-        s = ambient_steal_pct()
-        f = fault_cost_us()
-        if s <= steal_limit and f <= fault_limit_us:
-            return True
-        if time.time() - t0 > max_wait_s:
-            print(f"no clean window in {max_wait_s:.0f}s (steal {s:.1f}%, "
-                  f"fault {f:.1f}us) — proceeding anyway", flush=True)
-            return False
-        print(f"waiting: ambient steal {s:.1f}% (limit {steal_limit}) / "
-              f"fault cost {f:.1f}us (limit {fault_limit_us})", flush=True)
-        time.sleep(45)
 
 
 def run_at(cores: int) -> dict:
