@@ -36,10 +36,20 @@ from ..sources import index_io
 from .search import Query
 
 
+# Collect the (term, df) lexicon into the driver when the vocabulary is
+# at most this many terms (~40 B/entry -> <=160 MB): the per-query lexicon
+# probe then costs a dict lookup instead of a Spark job, halving the jobs
+# on the single-query path. A 10^12-file code corpus's identifier
+# vocabulary can exceed this — the distributed probe stays as the
+# fallback, chosen automatically from the lexicon row count.
+LEXICON_DRIVER_CACHE_MAX_TERMS = 4_000_000
+
+
 class IndexSearcher:
     """Loads an index built by ``build_index`` and answers queries."""
 
-    def __init__(self, spark: SparkSession, index_root: str) -> None:
+    def __init__(self, spark: SparkSession, index_root: str,
+                 lexicon_driver_cache: bool | None = None) -> None:
         self.spark = spark
         self.index_root = index_root
         self.postings = index_io.read_postings(spark, index_root)
@@ -49,22 +59,38 @@ class IndexSearcher:
         stats = index_io.read_stats(spark, index_root)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        if lexicon_driver_cache is None:
+            lexicon_driver_cache = (
+                self.lexicon.count() <= LEXICON_DRIVER_CACHE_MAX_TERMS
+            )
+        self._df_by_term: dict[str, int] | None = None
+        if lexicon_driver_cache:
+            self._df_by_term = {
+                r["term"]: int(r["df"])
+                for r in self.lexicon.select("term", "df").collect()
+            }
 
     # --- planning (P4 lexicon probe + T4 rarest-first) -----------------------
+
+    def _probe_df(self, terms: list[str]) -> dict[str, int]:
+        """term -> global df for the given terms; OOV terms absent."""
+        if self._df_by_term is not None:
+            return {t: self._df_by_term[t] for t in terms
+                    if t in self._df_by_term}
+        rows = (
+            self.lexicon.filter(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
     def plan_terms(self, query: Query) -> list[tuple[str, int, float]]:
         """[(term, global_df, idf)] rarest-first; OOV terms dropped."""
         terms = list(dict.fromkeys(query.terms))
         if not terms:
             return []
-        rows = (
-            self.lexicon.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        meta = sorted(
-            ((r["term"], int(r["df"])) for r in rows), key=lambda x: (x[1], x[0])
-        )
+        df_by_term = self._probe_df(terms)
+        meta = sorted(df_by_term.items(), key=lambda x: (x[1], x[0]))
         return [(t, df, idf_np(df, self.n_docs)) for t, df in meta]
 
     # --- public API -----------------------------------------------------------
@@ -182,12 +208,7 @@ class IndexSearcher:
         all_terms = sorted({t for _, q in items for t in q.terms})
         if not items or not all_terms:
             return self._empty_batch(decorate)
-        rows = (
-            self.lexicon.filter(F.col("term").isin(all_terms))
-            .select("term", "df")
-            .collect()
-        )
-        df_by_term = {r["term"]: int(r["df"]) for r in rows}
+        df_by_term = self._probe_df(all_terms)
         # per-query plan: rarest-first kept terms; OOV => AND empty, OR skip
         qplans: dict[int, tuple[str, int, list[tuple[str, float]]]] = {}
         for qid, q in items:

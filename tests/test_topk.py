@@ -75,3 +75,18 @@ def test_tie_break_is_doc_id_asc(searcher):
 def test_oov_and_is_empty(searcher):
     assert searcher.search(Query(("oovterm",), "AND"), "pruned").count() == 0
     assert searcher.search(Query(("oovterm",), "OR"), "pruned").count() == 0
+
+
+def test_lexicon_probe_paths_agree(spark, index_root, searcher):
+    """The driver-cached lexicon probe (default at test vocab size) and the
+    distributed filter-probe must plan and rank identically, incl. OOV."""
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+
+    dist = IndexSearcher(spark, index_root, lexicon_driver_cache=False)
+    assert dist._df_by_term is None
+    assert searcher._df_by_term is not None
+    for q in (QUERIES[1], QUERIES[4], QUERIES[7], QUERIES[8]):
+        assert dist.plan_terms(q) == searcher.plan_terms(q)
+        assert _rows(dist.search(q, "pruned", decorate=False)) == _rows(
+            searcher.search(q, "pruned", decorate=False)
+        )
