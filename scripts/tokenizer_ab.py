@@ -13,7 +13,13 @@ Per run it reports docs-stage seconds, total build wall, docs/sec, and
 the build-phase CPU mix (sys+steal gate like bench.py). Results go to
 BENCH/TOKENIZER_AB.md.
 
-Usage: python scripts/tokenizer_ab.py [n_docs] [n_trials] [cores]
+A losing arm can lose by ORDERS of magnitude at this scale (the first
+1M-doc run had jvm_tf still unfinished at 50 min vs arrow's 7.3-min full
+build), so each run is wall-capped: a run that exceeds the cap is killed
+and recorded as DNF at the cap — that IS the measurement.
+
+Usage: python scripts/tokenizer_ab.py [n_docs] [n_trials] [cores] [variants]
+Env:   SPARK_GRAFT_TOKAB_RUN_CAP_S (default 2700) per-run wall cap
 """
 
 from __future__ import annotations
@@ -29,7 +35,9 @@ sys.path.insert(0, "/root/repo")
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 N_TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-VARIANTS = ["arrow", "jvm_tf", "jvm"]
+VARIANTS = (sys.argv[4].split(",") if len(sys.argv) > 4
+            else ["arrow", "jvm_tf", "jvm"])
+RUN_CAP_S = float(os.environ.get("SPARK_GRAFT_TOKAB_RUN_CAP_S", "2700"))
 
 
 def run_one(tokenizer: str) -> dict:
@@ -70,8 +78,16 @@ print('RESULT ' + json.dumps({{
     'sys_steal_pct': round(mix['sys'] + mix['steal'], 1)}}))
 spark.stop()
 """
-    out = subprocess.run([sys.executable, "-c", code],
-                         capture_output=True, text=True, timeout=5400)
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=RUN_CAP_S)
+    except subprocess.TimeoutExpired:
+        # the SIGKILLed python driver can orphan the JVM + worker daemons
+        os.system("pkill -9 -f 'pyspark-shell' 2>/dev/null; "
+                  "pkill -9 -f 'pyspark.daemon' 2>/dev/null")
+        time.sleep(5)
+        return {"tokenizer": tokenizer, "dnf": True,
+                "cap_s": round(RUN_CAP_S, 0)}
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -85,6 +101,10 @@ def main() -> None:
         for v in VARIANTS:
             r = run_one(v)
             results[v].append(r)
+            if r.get("dnf"):
+                print(f"trial {t} {v}: DNF (killed at {r['cap_s']}s wall cap)",
+                      flush=True)
+                continue
             print(f"trial {t} {v}: {r['docs_per_sec']} docs/s, "
                   f"docs stage {r['docs_stage_s']}s, wall {r['wall_s']}s, "
                   f"noise {r['sys_steal_pct']}%", flush=True)
@@ -92,12 +112,18 @@ def main() -> None:
     rows = ""
     best = {}
     for v in VARIANTS:
-        b = max(results[v], key=lambda r: r["docs_per_sec"])
-        best[v] = b
+        done = [r for r in results[v] if not r.get("dnf")]
+        best[v] = max(done, key=lambda r: r["docs_per_sec"]) if done else {
+            "tokenizer": v, "dnf": True, "docs_per_sec": 0.0,
+            "cap_s": results[v][0].get("cap_s", RUN_CAP_S)}
         for i, r in enumerate(results[v]):
-            rows += (f"| {v} trial {i} | {r['docs_per_sec']:,.1f} | "
-                     f"{r['docs_stage_s']} | {r['wall_s']} | "
-                     f"{r['sys_steal_pct']}% |\n")
+            if r.get("dnf"):
+                rows += (f"| {v} trial {i} | DNF | — | >{r['cap_s']:.0f} "
+                         f"(killed at cap) | — |\n")
+            else:
+                rows += (f"| {v} trial {i} | {r['docs_per_sec']:,.1f} | "
+                         f"{r['docs_stage_s']} | {r['wall_s']} | "
+                         f"{r['sys_steal_pct']}% |\n")
     winner = max(best, key=lambda v: best[v]["docs_per_sec"])
     md = f"""# Tokenizer A/B/C at {N_DOCS:,} docs (local[{CORES}])
 
