@@ -68,6 +68,7 @@ def build_index(
     resume: bool = True,
     parallel_groups: bool = True,
     tokenizer: str = "arrow",
+    cache_input: bool = True,
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
 
@@ -90,9 +91,15 @@ def build_index(
     manifest_path = table_path(out, MANIFEST_DIR)
     lexicon_path = table_path(out, LEXICON_DIR)
 
-    # the corpus is read many times (range-sampling pass, id shuffle); keep
-    # it materialized for the duration of the build
-    corpus_cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    # The corpus is read twice (range-sampling pass, id shuffle). Caching
+    # it pays off when the input is expensive to recompute (synthesized /
+    # transformed upstream); for a corpus that is ALREADY a columnar scan
+    # (parquet/Iceberg — the 100 TB shape) pass cache_input=False: two
+    # column-pruned scans are cheaper than holding the content column on
+    # the executor heaps.
+    corpus_cached = (
+        corpus.persist(StorageLevel.MEMORY_AND_DISK) if cache_input else corpus
+    )
 
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # pin layout decisions across resume runs even if the session conf
@@ -167,23 +174,40 @@ def build_index(
             tk_expr = tokens_tf_cols(F.col("content"))
         else:
             raise ValueError(f"unknown tokenizer {tokenizer!r}")
-        tokenized = (
-            assigned
-            .select(
-                "doc_id", "repo", "path", "commit", "lang",
-                *(["shard"] if fast_mode else []),
-                F.sha2(F.col("content"), 256).alias("sha256"),
-                tk_expr.alias("tk"),
+        if tokenizer == "jvm_tf":
+            # inline() = a Generate node: the struct expression is
+            # evaluated ONCE per row and fans out to (terms, tfs, doclen)
+            # columns. Projecting tk.terms/tk.tfs/tk.doclen instead would
+            # let Catalyst collapse the projection and re-evaluate the
+            # whole tokenize tree once PER FIELD.
+            tokenized = (
+                assigned
+                .select(
+                    "doc_id", "repo", "path", "commit", "lang",
+                    *(["shard"] if fast_mode else []),
+                    F.sha2(F.col("content"), 256).alias("sha256"),
+                    F.inline(F.array(tk_expr)),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .select(
-                "doc_id", "repo", "path", "commit", "lang", "sha256",
-                *(["shard"] if fast_mode else []),
-                F.col("tk.terms").alias("terms"),
-                F.col("tk.tfs").alias("tfs"),
-                F.col("tk.doclen").alias("doclen"),
+        else:
+            tokenized = (
+                assigned
+                .select(
+                    "doc_id", "repo", "path", "commit", "lang",
+                    *(["shard"] if fast_mode else []),
+                    F.sha2(F.col("content"), 256).alias("sha256"),
+                    tk_expr.alias("tk"),
+                )
+                .select(
+                    "doc_id", "repo", "path", "commit", "lang", "sha256",
+                    *(["shard"] if fast_mode else []),
+                    F.col("tk.terms").alias("terms"),
+                    F.col("tk.tfs").alias("tfs"),
+                    F.col("tk.doclen").alias("doclen"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
     t_docs = time.time()
     if not (resume and _exists(docs_path) and _exists(stats_path)):
         tokenized.select(
@@ -322,7 +346,8 @@ def build_index(
     tokenized.unpersist()
     if ranged_cache is not None:
         ranged_cache.unpersist()
-    corpus_cached.unpersist()
+    if cache_input:
+        corpus_cached.unpersist()
 
     # --- lexicon: global per-term stats (the skew "post-merge" — tiny rows) --
     t_lex = time.time()

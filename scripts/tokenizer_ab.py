@@ -40,6 +40,32 @@ VARIANTS = (sys.argv[4].split(",") if len(sys.argv) > 4
 RUN_CAP_S = float(os.environ.get("SPARK_GRAFT_TOKAB_RUN_CAP_S", "2700"))
 
 
+CORPUS_PARQUET = f"/tmp/tok_ab_corpus_{N_DOCS}"
+
+
+def materialize_corpus() -> None:
+    """Write the synthetic corpus to parquet ONCE (own JVM): every arm
+    then reads the same files — identical input bytes, no datagen cost in
+    the timed window, and no 1M-doc corpus pinned on the 8g build heap
+    (the deserialized persist OOMed the first capped run)."""
+    if os.path.exists(os.path.join(CORPUS_PARQUET, "_SUCCESS")):
+        return
+    code = f"""
+import sys
+sys.path.insert(0, '/root/repo')
+from nyu_search_engine_spark.session import get_spark
+from nyu_search_engine_spark.synth import synth_corpus
+spark = get_spark(app_name='tok_ab_gen', cores={CORES})
+synth_corpus(spark, {N_DOCS}).write.mode('overwrite').parquet({CORPUS_PARQUET!r})
+print('GENDONE')
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=3600)
+    if "GENDONE" not in out.stdout:
+        raise RuntimeError(f"corpus gen failed:\n{out.stderr[-3000:]}")
+
+
 def run_one(tokenizer: str) -> dict:
     code = f"""
 import sys, json, time, tempfile, shutil
@@ -53,15 +79,15 @@ def cpu():
         return list(map(int, fh.readline().split()[1:9]))
 
 spark = get_spark(app_name='tok_ab', cores={CORES})
-corpus = synth_corpus(spark, {N_DOCS}).persist()
-corpus.count()
+corpus = spark.read.parquet({CORPUS_PARQUET!r})
 warm = tempfile.mkdtemp(prefix='tok_ab_warm_')
 build_index(spark, synth_corpus(spark, 2000), warm, n_groups=1,
             resume=False, tokenizer='{tokenizer}')
 shutil.rmtree(warm, ignore_errors=True)
 root = tempfile.mkdtemp(prefix='tok_ab_')
 c0 = cpu(); t0 = time.time()
-m = build_index(spark, corpus, root, n_groups=4, tokenizer='{tokenizer}')
+m = build_index(spark, corpus, root, n_groups=4, tokenizer='{tokenizer}',
+                cache_input=False)
 wall = time.time() - t0
 c1 = cpu()
 d = [b - a for a, b in zip(c0, c1)]
@@ -96,6 +122,9 @@ spark.stop()
 
 def main() -> None:
     t0 = time.time()
+    materialize_corpus()
+    print(f"corpus parquet ready at {CORPUS_PARQUET} "
+          f"({time.time() - t0:.0f}s)", flush=True)
     results: dict[str, list[dict]] = {v: [] for v in VARIANTS}
     for t in range(N_TRIALS):
         for v in VARIANTS:
