@@ -58,9 +58,25 @@ def run(cores: int | None = None, n_docs: int | None = None,
     idx_root = tempfile.mkdtemp(prefix="nyu_bench_idx_")
     try:
         # materialize the synthetic input first: datagen cost is not index
-        # throughput (a real corpus arrives as parquet)
-        corpus = synth_corpus(spark, n_docs).persist()
-        corpus.count()
+        # throughput (a real corpus arrives as parquet). Two modes:
+        #   default            — synth + in-heap persist (fits <=500k docs)
+        #   SPARK_GRAFT_BENCH_CORPUS_PARQUET=<dir> — write the corpus to
+        #     <dir>/corpus_<n> once, build from the parquet scan with
+        #     cache_input=False. This is the input_hint's real shape
+        #     (corpus arrives as a columnar table) and keeps the 8g heap
+        #     for the build itself: a 1M-doc deserialized persist OOMed /
+        #     cache-thrashed under the host's ~16 GiB watermark.
+        corpus_dir = os.environ.get("SPARK_GRAFT_BENCH_CORPUS_PARQUET")
+        build_kwargs = {}
+        if corpus_dir:
+            path = os.path.join(corpus_dir, f"corpus_{n_docs}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                synth_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+            corpus = spark.read.parquet(path)
+            build_kwargs["cache_input"] = False
+        else:
+            corpus = synth_corpus(spark, n_docs).persist()
+            corpus.count()
         # warm-up build: pays the one-time Python-worker import + JIT cost
         # (a long-lived cluster amortizes this; a 2k-doc build surfaces it)
         warm_root = tempfile.mkdtemp(prefix="nyu_bench_warm_")
@@ -71,7 +87,7 @@ def run(cores: int | None = None, n_docs: int | None = None,
             shutil.rmtree(warm_root, ignore_errors=True)
         cpu0 = _cpu_sample()
         t0 = time.time()
-        m = build_index(spark, corpus, idx_root, n_groups=4)
+        m = build_index(spark, corpus, idx_root, n_groups=4, **build_kwargs)
         build_s = time.time() - t0
         out["build_cpu_mix"] = _cpu_mix(cpu0, _cpu_sample())
         out["queries"]["index_build"] = round(build_s, 3)

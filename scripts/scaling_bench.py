@@ -79,6 +79,13 @@ def best_of(trials: list[dict]) -> tuple[dict, bool]:
 
 def main() -> None:
     t0 = time.time()
+    # >=750k docs cannot hold a deserialized corpus persist on the 8g heap
+    # (host memory cliff) — switch both levels to the shared parquet-corpus
+    # build (bench.py SPARK_GRAFT_BENCH_CORPUS_PARQUET): identical input
+    # bytes for every trial, heap reserved for the build itself.
+    if N_DOCS >= 750_000 and not os.environ.get(
+            "SPARK_GRAFT_BENCH_CORPUS_PARQUET"):
+        os.environ["SPARK_GRAFT_BENCH_CORPUS_PARQUET"] = "/tmp/scaling_corpus"
     trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
     for t in range(MAX_PAIRS):
         for cores in (LEVEL_N, LEVEL_4N):
