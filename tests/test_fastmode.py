@@ -90,3 +90,26 @@ def test_fast_mode_lexicon_matches_legacy(spark, fast_root, index_root):
     b = index_io.read_lexicon(spark, index_root).select("term", "df", "cf")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_uncached_input_build_byte_identical(spark, corpus, tmp_path):
+    """cache_input=False (the parquet-scan corpus shape at 100 TB) must
+    produce byte-identical postings to the cached-input build."""
+    src = str(tmp_path / "corpus_pq")
+    corpus.write.parquet(src)
+    pq = spark.read.parquet(src)
+    ra, rb = str(tmp_path / "cached"), str(tmp_path / "uncached")
+    build_index(spark, corpus, ra, shard_size=90, n_groups=2,
+                parallel_groups=False)
+    build_index(spark, pq, rb, shard_size=90, n_groups=2,
+                parallel_groups=False, cache_input=False)
+
+    def fp(root):
+        return sorted(
+            (r["shard"], r["term"], r["df"], r["cf"],
+             bytes(r["doc_ids_vb"]).hex(), bytes(r["tfs_vb"]).hex(),
+             bytes(r["doclens_vb"]).hex())
+            for r in index_io.read_postings(spark, root).collect()
+        )
+
+    assert fp(ra) == fp(rb)
