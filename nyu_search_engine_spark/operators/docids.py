@@ -82,6 +82,9 @@ def assign_doc_ids(
         # once downstream frames are materialized (unpersisting the
         # returned frame would NOT release this cache)
         out._ranged_cache = ranged
+        # the prefix-sum pass already counted the corpus — expose it so
+        # callers (tokenizer auto-selection) need no extra job
+        out._n_docs = acc
         return out
     except Exception:
         ranged.unpersist()

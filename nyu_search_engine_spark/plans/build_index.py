@@ -67,7 +67,7 @@ def build_index(
     n_groups: int = 4,
     resume: bool = True,
     parallel_groups: bool = True,
-    tokenizer: str = "arrow",
+    tokenizer: str = "auto",
     cache_input: bool = True,
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
@@ -137,14 +137,29 @@ def build_index(
     assigned = assign_doc_ids(corpus_cached, num_partitions=p_assign,
                               keep_pid_col="shard" if fast_mode else None)
     ranged_cache = getattr(assigned, "_ranged_cache", None)
-    # Tokenizer A/B (measured, 100k docs / local[8], interleaved trials):
-    # "jvm" halves the docs stage (6.6s vs 12.1s — codegen regexp split,
-    # zero Python) but loses the BUILD overall (2.1-2.3k vs 2.8-2.9k
-    # docs/s): its cache holds raw token streams (~avgdl strings/doc vs
-    # ~distinct terms/doc), so every group job scans a ~4x bigger cache
-    # and the postings sort takes ~1.3x the rows. The fused Arrow
-    # tokenize+tf UDF is therefore the default; "jvm" remains for
-    # corpora with low term repetition (where the two caches converge).
+    # Tokenizer selection (measured — BENCH/TOKENIZER_AB_{100k,500k,1M}.md,
+    # interleaved fresh-JVM trials on identical parquet input; all three
+    # arms build byte-identical indexes, test_tokenizer.py):
+    #   * "jvm_tf" (pure column expressions, zero Python) wins at scale:
+    #     1.15x arrow at 500k docs (6.4k vs 5.6k docs/s), 1.56x at 1M
+    #     (4.3k vs 2.7k) — the Arrow serialize/python/deserialize boundary
+    #     is the docs-stage bottleneck once the corpus outgrows the page
+    #     cache.
+    #   * "arrow" (fused pandas UDF) is ~7% faster at 100k docs.
+    #   * "jvm" (occurrence rows, tf counted in the assembly kernel) keeps
+    #     a ~4x bigger tokenized cache (raw token streams) — it OOMed an
+    #     8g heap at 1M docs; kept only for low-repetition corpora.
+    # "auto" switches arrow -> jvm_tf at the midpoint of the measured
+    # 100k-500k crossover bracket, using the corpus count the docID
+    # prefix-sum already produced (no extra job).
+    if tokenizer == "auto":
+        n_for_choice = getattr(assigned, "_n_docs", None)
+        tokenizer = (
+            "jvm_tf"
+            if n_for_choice is not None and n_for_choice >= 250_000
+            else "arrow"
+        )
+    metrics["tokenizer"] = tokenizer
     occurrences = tokenizer == "jvm"
     if occurrences:
         # JVM tokenizer: codegen'd regexp split — ZERO Python in the docs

@@ -117,7 +117,15 @@ spark.stop()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"{tokenizer} failed:\n{out.stderr[-3000:]}")
+    # a failed arm is a data point, not a harness crash: keep the full
+    # stderr on disk and record the failure row
+    errfile = f"/tmp/tok_ab_err_{tokenizer}_{int(time.time())}.log"
+    with open(errfile, "w") as fh:
+        fh.write(out.stderr)
+    tail = [ln for ln in out.stderr.splitlines()
+            if "Error" in ln or "Exception" in ln][:5]
+    return {"tokenizer": tokenizer, "failed": True, "errfile": errfile,
+            "err_tail": tail}
 
 
 def main() -> None:
@@ -134,6 +142,10 @@ def main() -> None:
                 print(f"trial {t} {v}: DNF (killed at {r['cap_s']}s wall cap)",
                       flush=True)
                 continue
+            if r.get("failed"):
+                print(f"trial {t} {v}: FAILED ({r['err_tail']}; "
+                      f"full stderr {r['errfile']})", flush=True)
+                continue
             print(f"trial {t} {v}: {r['docs_per_sec']} docs/s, "
                   f"docs stage {r['docs_stage_s']}s, wall {r['wall_s']}s, "
                   f"noise {r['sys_steal_pct']}%", flush=True)
@@ -141,14 +153,17 @@ def main() -> None:
     rows = ""
     best = {}
     for v in VARIANTS:
-        done = [r for r in results[v] if not r.get("dnf")]
+        done = [r for r in results[v]
+                if not r.get("dnf") and not r.get("failed")]
         best[v] = max(done, key=lambda r: r["docs_per_sec"]) if done else {
-            "tokenizer": v, "dnf": True, "docs_per_sec": 0.0,
-            "cap_s": results[v][0].get("cap_s", RUN_CAP_S)}
+            **results[v][0], "docs_per_sec": 0.0}
         for i, r in enumerate(results[v]):
             if r.get("dnf"):
                 rows += (f"| {v} trial {i} | DNF | — | >{r['cap_s']:.0f} "
                          f"(killed at cap) | — |\n")
+            elif r.get("failed"):
+                rows += (f"| {v} trial {i} | FAILED ({'; '.join(r['err_tail'][:1])}) "
+                         f"| — | — | — |\n")
             else:
                 rows += (f"| {v} trial {i} | {r['docs_per_sec']:,.1f} | "
                          f"{r['docs_stage_s']} | {r['wall_s']} | "
@@ -174,10 +189,12 @@ Best per variant: {json.dumps({v: best[v] for v in VARIANTS}, indent=2)}
 docs/s best trial).
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/TOKENIZER_AB.md", "w") as fh:
+    tag = (f"{N_DOCS // 1000}k" if N_DOCS < 1_000_000
+           else f"{N_DOCS // 1_000_000}M")
+    out_md = f"/root/repo/BENCH/TOKENIZER_AB_{tag}.md"
+    with open(out_md, "w") as fh:
         fh.write(md)
-    print(f"winner: {winner}; wrote BENCH/TOKENIZER_AB.md "
-          f"in {time.time() - t0:.0f}s")
+    print(f"winner: {winner}; wrote {out_md} in {time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":
