@@ -17,11 +17,23 @@ order no matter where the range boundaries fall (local[1] == local[32]).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import DOC_SORT_KEYS
+
+
+@dataclass
+class DocIdAssignment:
+    """Explicit result of docID assignment (no attribute smuggling: any
+    wrapper around the DataFrame would silently drop ad-hoc attrs)."""
+
+    df: DataFrame          # input columns + doc_id (+ optional pid col)
+    n_docs: int            # corpus count, free from the prefix-sum pass
+    ranged_cache: DataFrame  # persisted intermediate; caller unpersists
 
 
 def assign_doc_ids(
@@ -30,6 +42,17 @@ def assign_doc_ids(
     num_partitions: int | None = None,
     keep_pid_col: str | None = None,
 ) -> DataFrame:
+    """Convenience wrapper returning only the DataFrame (see
+    ``assign_doc_ids_full`` for the count + cache handle)."""
+    return assign_doc_ids_full(df, sort_keys, num_partitions, keep_pid_col).df
+
+
+def assign_doc_ids_full(
+    df: DataFrame,
+    sort_keys: tuple[str, ...] = DOC_SORT_KEYS,
+    num_partitions: int | None = None,
+    keep_pid_col: str | None = None,
+) -> DocIdAssignment:
     """Add a dense ``doc_id`` column: 0..N-1 by ascending sort_keys.
 
     With ``keep_pid_col``, also emit the range-partition index as a column.
@@ -78,14 +101,10 @@ def assign_doc_ids(
                 yield out
 
         out = ranged.mapInPandas(add_ids, schema=out_schema)
-        # expose the cached intermediate so the caller can unpersist it
-        # once downstream frames are materialized (unpersisting the
-        # returned frame would NOT release this cache)
-        out._ranged_cache = ranged
-        # the prefix-sum pass already counted the corpus — expose it so
-        # callers (tokenizer auto-selection) need no extra job
-        out._n_docs = acc
-        return out
+        # ranged stays persisted: the caller unpersists it once downstream
+        # frames are materialized (unpersisting `out` would NOT release it).
+        # n_docs comes free from the prefix-sum pass (no extra job).
+        return DocIdAssignment(df=out, n_docs=acc, ranged_cache=ranged)
     except Exception:
         ranged.unpersist()
         raise

@@ -33,7 +33,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -46,7 +46,7 @@ from ..constants import (
 )
 from ..functions.tokenize import tokenize_tf, tokens_col, tokens_tf_cols
 from ..operators.assemble import POSTINGS_SCHEMA, assemble_postings
-from ..operators.docids import assign_doc_ids
+from ..operators.docids import assign_doc_ids_full
 from ..sources.index_io import table_path
 
 MANIFEST_SCHEMA = (
@@ -82,6 +82,16 @@ def build_index(
     sessions), trading the zero-shuffle property for byte-identical
     resume. An explicit shard_size keeps shard = doc_id // shard_size
     (one hash shuffle, resume-stable by construction).
+
+    Passes over the tokenized cache (the expensive intermediate): corpus
+    stats ride the docs write via Observation (zero extra passes), the
+    shard-bounds pass runs only when ``resume=True`` (bounds exist solely
+    for resumed sessions — a resume=False build is NOT resumable and a
+    crashed one must be rerun with resume=False), and each shard-group
+    job re-reads the cache once. n_groups is therefore the
+    checkpoint-granularity / throughput dial: n_groups=1 consumes the
+    cache exactly once after the docs write (still resumable at
+    stage granularity via _SUCCESS markers + the manifest).
     """
     t0 = time.time()
     metrics: dict = {"n_groups": n_groups}
@@ -134,9 +144,10 @@ def build_index(
     # stage then needs NO shuffle at all (sort + assemble are
     # partition-local); the reference's temp-run merge happens inside the
     # per-partition ExternalSorter.
-    assigned = assign_doc_ids(corpus_cached, num_partitions=p_assign,
-                              keep_pid_col="shard" if fast_mode else None)
-    ranged_cache = getattr(assigned, "_ranged_cache", None)
+    assignment = assign_doc_ids_full(corpus_cached, num_partitions=p_assign,
+                                     keep_pid_col="shard" if fast_mode else None)
+    assigned = assignment.df
+    ranged_cache = assignment.ranged_cache
     # Tokenizer selection (measured — BENCH/TOKENIZER_AB_{100k,500k,1M}.md,
     # interleaved fresh-JVM trials on identical parquet input; all three
     # arms build byte-identical indexes, test_tokenizer.py):
@@ -153,12 +164,7 @@ def build_index(
     # 100k-500k crossover bracket, using the corpus count the docID
     # prefix-sum already produced (no extra job).
     if tokenizer == "auto":
-        n_for_choice = getattr(assigned, "_n_docs", None)
-        tokenizer = (
-            "jvm_tf"
-            if n_for_choice is not None and n_for_choice >= 250_000
-            else "arrow"
-        )
+        tokenizer = "jvm_tf" if assignment.n_docs >= 250_000 else "arrow"
     metrics["tokenizer"] = tokenizer
     occurrences = tokenizer == "jvm"
     if occurrences:
@@ -224,16 +230,33 @@ def build_index(
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
     t_docs = time.time()
-    if not (resume and _exists(docs_path) and _exists(stats_path)):
-        tokenized.select(
-            "doc_id", "repo", "path", "commit", "lang", "doclen", "sha256"
-        ).write.mode("overwrite").parquet(docs_path)
-        stats = tokenized.agg(
-            F.count("*").alias("n_docs"),
+    docs_stage_ran = not (resume and _exists(docs_path) and _exists(stats_path))
+    if docs_stage_ran:
+        # Observation fuses the corpus-stats aggregate INTO the docs write
+        # (metrics collected as rows stream to parquet) — no second pass
+        # over the tokenized cache for stats.
+        obs = Observation("corpus_stats")
+        tokenized.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
             F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens"),
-        )
-        stats.write.mode("overwrite").parquet(stats_path)
+        ).select(
+            "doc_id", "repo", "path", "commit", "lang", "doclen", "sha256"
+        ).write.mode("overwrite").parquet(docs_path)
+        o = obs.get
+        spark.createDataFrame(
+            [(int(o["n_docs"]), float(o["avgdl"] or 0.0),
+              int(o["total_tokens"] or 0))],
+            "n_docs long, avgdl double, total_tokens long",
+        ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+        # the docs write materialized the tokenized cache: everything
+        # downstream reads THAT cache, so the upstream corpus/ranged
+        # caches (which hold the raw content column) can be released now
+        # instead of pinning executor memory through the postings stage
+        ranged_cache.unpersist()
+        if cache_input:
+            corpus_cached.unpersist()
     row = spark.read.parquet(stats_path).first()
     n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
@@ -255,7 +278,11 @@ def build_index(
     if fast_mode and not use_recorded_bounds:
         # shard == cached range partition: group jobs are shuffle-free
         per_doc = tokenized
-        if len(done) < n_groups and shard_bounds is None:
+        # bounds exist ONLY to let a resumed session re-derive the same
+        # sharding; with resume=False nothing may resume (a crashed
+        # resume=False build must be rerun with resume=False), so the
+        # bounds pass over the cache is skipped entirely
+        if resume and len(done) < n_groups and shard_bounds is None:
             # record per-shard doc_id bounds so a resumed session (whose
             # range-sampled partition boundaries may differ) can derive
             # the SAME sharding from doc_ids
@@ -298,7 +325,12 @@ def build_index(
         tg = time.time()
         lo, hi = g * shards_per_group, (g + 1) * shards_per_group
         per_group_p = max(1, shuffle_p // n_groups) if parallel_groups else shuffle_p
-        grp_doc = per_doc.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
+        # n_groups=1 covers every shard: no filter, so the single group job
+        # is a straight pass over the cache (no per-batch stat evaluation)
+        grp_doc = (
+            per_doc if n_groups == 1
+            else per_doc.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
+        )
         if occurrences:
             grp_src = grp_doc.select(
                 "doc_id", "shard", "doclen",
@@ -359,8 +391,9 @@ def build_index(
             run_group(g)
 
     tokenized.unpersist()
-    if ranged_cache is not None:
-        ranged_cache.unpersist()
+    # idempotent re-release for the resume path that skipped the docs stage
+    # (the normal path already dropped these right after the docs write)
+    ranged_cache.unpersist()
     if cache_input:
         corpus_cached.unpersist()
 
