@@ -69,7 +69,8 @@ def run(cores: int | None = None, n_docs: int | None = None,
         corpus_dir = os.environ.get("SPARK_GRAFT_BENCH_CORPUS_PARQUET")
         build_kwargs = {}
         if corpus_dir:
-            path = os.path.join(corpus_dir, f"corpus_{n_docs}")
+            from nyu_search_engine_spark.synth import SYNTH_VERSION
+            path = os.path.join(corpus_dir, f"corpus_{n_docs}_v{SYNTH_VERSION}")
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 synth_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
             corpus = spark.read.parquet(path)
@@ -119,35 +120,62 @@ def run(cores: int | None = None, n_docs: int | None = None,
         }
         # warm-up (JIT, file listing, lexicon cache)
         searcher.search(qset["q_and_rare"], "pruned", decorate=False).collect()
+
         # the query phase gets its own /proc/stat window: BENCH_r02 published
         # 2.5x-degraded OR latencies because only the BUILD window was gated
-        cpu_q0 = _cpu_sample()
-        lat = []
-        for name, q in qset.items():
+        def query_loop() -> dict:
+            cpu_q0 = _cpu_sample()
+            loop: dict = {"queries": {}}
+            lat = []
+            for name, q in qset.items():
+                t = time.time()
+                searcher.search(q, "pruned", decorate=False).collect()
+                dt = time.time() - t
+                loop["queries"][name] = round(dt, 3)
+                lat.append(dt)
             t = time.time()
-            searcher.search(q, "pruned", decorate=False).collect()
-            dt = time.time() - t
-            out["queries"][name] = round(dt, 3)
-            lat.append(dt)
-        t = time.time()
-        searcher.search(qset["q_or_mixed"], "exhaustive", decorate=False).collect()
-        out["queries"]["q_or_mixed_exhaustive"] = round(time.time() - t, 3)
-        # batched API: all 7 fixture queries in ONE postings scan — the
-        # per-query job-scheduling floor is paid once, not 7 times
-        t = time.time()
-        batch = searcher.search_batch(
-            {i: q for i, q in enumerate(qset.values())}
-        )
-        n_batch_rows = batch.count()
-        out["queries"]["q_batch_all7"] = round(time.time() - t, 3)
-        out["batch_rows"] = n_batch_rows
-        out["batch_speedup_vs_sequential"] = round(
-            sum(lat) / max(out["queries"]["q_batch_all7"], 1e-9), 2
-        )
-        out["query_cpu_mix"] = _cpu_mix(cpu_q0, _cpu_sample())
-        lat_sorted = sorted(lat)
-        out["query_p95_s"] = round(lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 3)
-        out["query_mean_s"] = round(sum(lat) / len(lat), 3)
+            searcher.search(qset["q_or_mixed"], "exhaustive",
+                            decorate=False).collect()
+            loop["queries"]["q_or_mixed_exhaustive"] = round(time.time() - t, 3)
+            # batched API: all 7 fixture queries in ONE postings scan — the
+            # per-query job-scheduling floor is paid once, not 7 times
+            t = time.time()
+            batch = searcher.search_batch(
+                {i: q for i, q in enumerate(qset.values())}
+            )
+            loop["batch_rows"] = batch.count()
+            loop["queries"]["q_batch_all7"] = round(time.time() - t, 3)
+            loop["batch_speedup_vs_sequential"] = round(
+                sum(lat) / max(loop["queries"]["q_batch_all7"], 1e-9), 2
+            )
+            loop["query_cpu_mix"] = _cpu_mix(cpu_q0, _cpu_sample())
+            lat_sorted = sorted(lat)
+            loop["query_p95_s"] = round(
+                lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 3)
+            loop["query_mean_s"] = round(sum(lat) / len(lat), 3)
+            return loop
+
+        # the query phase is cheap next to the build, and BENCH_r03 showed a
+        # single loop can hit a multi-second host stall (85% idle) that a
+        # sys+steal gate cannot see: run the loop twice (a third time if the
+        # two disagree >1.5x) and publish the fastest WHOLE loop — per-query
+        # numbers keep single-loop provenance; the others are recorded
+        loops = [query_loop(), query_loop()]
+        if max(lp["query_mean_s"] for lp in loops) > 1.5 * min(
+                lp["query_mean_s"] for lp in loops):
+            loops.append(query_loop())
+        chosen = min(loops, key=lambda lp: lp["query_mean_s"])
+        out["queries"].update(chosen["queries"])
+        for k in ("batch_rows", "batch_speedup_vs_sequential",
+                  "query_cpu_mix", "query_p95_s", "query_mean_s"):
+            out[k] = chosen[k]
+        out["query_loops"] = [
+            {"query_mean_s": lp["query_mean_s"],
+             "idle_pct": lp["query_cpu_mix"].get("idle", 0.0),
+             "sys_steal_pct": round(lp["query_cpu_mix"].get("sys", 0.0)
+                                    + lp["query_cpu_mix"].get("steal", 0.0), 1)}
+            for lp in loops
+        ]
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
         spark.stop()
@@ -249,14 +277,24 @@ def run_robust() -> dict:
             "sys_steal_pct": round(noise, 1),
             "build_sys_steal_pct": round(b_noise, 1),
             "query_sys_steal_pct": round(q_noise, 1),
+            "build_idle_pct": bmix.get("idle", 0.0),
+            "query_idle_pct": qmix.get("idle", 0.0),
             "docs_per_sec": out["build"]["docs_per_sec"],
             "query_mean_s": out["query_mean_s"],
         })
         if noise <= NOISE_THRESHOLD_PCT:
             break
-    best = max(attempts, key=lambda o: o["build"]["docs_per_sec"])
+    # co-select on BOTH phases (VERDICT r3 #1: BENCH_r03 published a
+    # best-build attempt whose query loop had stalled 4x — wait-time-bound,
+    # invisible to the sys+steal gate): an attempt whose query mean is
+    # >1.5x the session's best query mean is ineligible unless every
+    # attempt is
+    best_q = min(a["query_mean_s"] for a in attempts)
+    eligible = [a for a in attempts if a["query_mean_s"] <= 1.5 * best_q]
+    best = max(eligible or attempts, key=lambda o: o["build"]["docs_per_sec"])
     best["noise_attempts"] = history
     best["host_noise_clean"] = best["host_noise_pct"] <= NOISE_THRESHOLD_PCT
+    best["query_coselected"] = best in eligible
     print(json.dumps(best))
     return best
 

@@ -24,6 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 SEED = 42
+# bump on ANY change to the generated corpus: bench scripts key their
+# /tmp parquet-corpus caches on (n_docs, SYNTH_VERSION), so a stale cache
+# can never silently feed old data to a measurement
+SYNTH_VERSION = 1
 VOCAB_SIZE = 5000
 ZIPF_S = 1.1
 MIN_LEN, MAX_LEN = 30, 800

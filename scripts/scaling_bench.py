@@ -1,19 +1,15 @@
 """Two-cluster-size scaling run (BASELINE.json north_rule / SURVEY.md §6).
 
-No real cluster exists in this sandbox, so N vs 4N executors is proxied by
-local[N] vs local[4N] on the SAME deterministic input. The sandbox is a
-shared-host VM with visible CPU-steal noise (run-to-run swings up to 4x on
-identical workloads), so trials are INTERLEAVED (N,4N,N,4N,...) and every
-trial carries its own /proc/stat windows for BOTH the build and the query
-phase. The run keeps adding interleaved pairs until each level has at
-least one CLEAN trial (build- and query-phase sys+steal <= threshold) and
-the efficiency from the best clean trials meets the target, or the budget
-runs out. Writes BENCH/SCALING_{N}_to_{4N}.md with all trials plus
-eff = tput@local[4N] / (4 * tput@local[N])  (target >= 0.8).
+Implements the PRE-REGISTERED protocol in BENCH/SCALING_PROTOCOL.md
+(committed before any round-4 measurement): the unit is an interleaved
+same-window pair (local[N] + local[4N] back-to-back, in-pair order
+alternating), a pair is clean iff both trials' build- and query-phase
+sys+steal <= 15%, and the headline is the MEAN per-pair efficiency over
+the first 4 clean pairs — no post-hoc selection.
 
 Usage: python scripts/scaling_bench.py [n_docs] [max_pairs]
 Env:   SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_SCALE_BUDGET_S
-       (default 10800), SPARK_GRAFT_SCALE_TARGET (default 0.8)
+       (default 10800), SPARK_GRAFT_SCALE_CLEAN_PAIRS (default 4)
 """
 
 from __future__ import annotations
@@ -27,23 +23,24 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from hostwindow import wait_for_clean_window  # noqa: E402
+from hostwindow import drop_page_cache, wait_for_clean_window  # noqa: E402
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000")
 )
-MAX_PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+MAX_PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 # parallelism pair: N and 4N. Default 2->8: the largest pair this
 # shared-host VM can schedule cleanly (see BENCH/BASELINE.md diagnosis).
 LEVEL_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 LEVEL_4N = 4 * LEVEL_N
 NOISE_THRESHOLD_PCT = 15.0
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "10800"))
-TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
+TARGET_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "4"))
 
 
 def run_at(cores: int) -> dict:
     """Each run gets a fresh JVM (subprocess)."""
+    drop_page_cache()
     code = (
         "import sys, json; sys.path.insert(0, '/root/repo');\n"
         "import bench\n"
@@ -70,13 +67,6 @@ def is_clean(r: dict) -> bool:
     return noise_of(r) <= NOISE_THRESHOLD_PCT
 
 
-def best_of(trials: list[dict]) -> tuple[dict, bool]:
-    """Best CLEAN trial by docs/sec; falls back to best overall (flagged)."""
-    clean = [r for r in trials if is_clean(r)]
-    pool = clean or trials
-    return max(pool, key=lambda r: r["build"]["docs_per_sec"]), bool(clean)
-
-
 def main() -> None:
     t0 = time.time()
     # >=750k docs cannot hold a deserialized corpus persist on the 8g heap
@@ -86,109 +76,125 @@ def main() -> None:
     if N_DOCS >= 750_000 and not os.environ.get(
             "SPARK_GRAFT_BENCH_CORPUS_PARQUET"):
         os.environ["SPARK_GRAFT_BENCH_CORPUS_PARQUET"] = "/tmp/scaling_corpus"
-    trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
+
+    pairs: list[dict] = []
     for t in range(MAX_PAIRS):
-        for cores in (LEVEL_N, LEVEL_4N):
-            wait_for_clean_window()
-            r = run_at(cores)
-            trials[cores].append(r)
-            print(f"pair {t} local[{cores}]: "
-                  f"{r['build']['docs_per_sec']} docs/s, "
-                  f"build {r['queries']['index_build']}s, "
-                  f"noise {noise_of(r)}% ({'clean' if is_clean(r) else 'DIRTY'})",
-                  flush=True)
-        bN, cN = best_of(trials[LEVEL_N])
-        b4, c4 = best_of(trials[LEVEL_4N])
-        eff_now = b4["build"]["docs_per_sec"] / (4 * bN["build"]["docs_per_sec"])
-        print(f"pair {t}: eff so far {eff_now:.3f} "
-              f"(clean N={cN}, clean 4N={c4})", flush=True)
-        if cN and c4 and eff_now >= TARGET_EFF:
-            break
         if time.time() - t0 > BUDGET_S:
             print("budget exhausted", flush=True)
             break
+        # same-window pair: wait for a clean ambient window ONCE, then run
+        # both trials back-to-back; in-pair order alternates so monotonic
+        # host drift cancels in expectation (SCALING_PROTOCOL.md)
+        wait_for_clean_window()
+        order = (LEVEL_N, LEVEL_4N) if t % 2 == 0 else (LEVEL_4N, LEVEL_N)
+        by_level: dict[int, dict] = {}
+        try:
+            for cores in order:
+                r = run_at(cores)
+                by_level[cores] = r
+                print(f"pair {t} local[{cores}]: "
+                      f"{r['build']['docs_per_sec']} docs/s, "
+                      f"build {r['queries']['index_build']}s, "
+                      f"query mean {r['query_mean_s']}s, "
+                      f"noise {noise_of(r)}% "
+                      f"({'clean' if is_clean(r) else 'DIRTY'})",
+                      flush=True)
+        except RuntimeError as exc:
+            print(f"pair {t} FAILED: {exc}", flush=True)
+            continue
+        rN, r4 = by_level[LEVEL_N], by_level[LEVEL_4N]
+        pair = {
+            "idx": t,
+            "order": f"{order[0]}->{order[1]}",
+            "trialN": rN,
+            "trial4N": r4,
+            "clean": is_clean(rN) and is_clean(r4),
+            "eff_docs": rN and r4 and r4["build"]["docs_per_sec"]
+            / (4 * rN["build"]["docs_per_sec"]),
+            "eff_postings": r4["build"]["postings_per_sec"]
+            / (4 * rN["build"]["postings_per_sec"]),
+        }
+        pairs.append(pair)
+        clean_pairs = [p for p in pairs if p["clean"]]
+        print(f"pair {t}: eff {pair['eff_docs']:.3f} "
+              f"({'clean' if pair['clean'] else 'dirty'}); "
+              f"{len(clean_pairs)}/{TARGET_CLEAN_PAIRS} clean pairs",
+              flush=True)
+        if len(clean_pairs) >= TARGET_CLEAN_PAIRS:
+            break
 
-    bestN, cleanN = best_of(trials[LEVEL_N])
-    best4, clean4 = best_of(trials[LEVEL_4N])
-    tputN = bestN["build"]["docs_per_sec"]
-    tput4 = best4["build"]["docs_per_sec"]
-    eff = tput4 / (4 * tputN)
-    pN = bestN["build"]["postings_per_sec"]
-    p4 = best4["build"]["postings_per_sec"]
-    eff_p = p4 / (4 * pN)
+    clean_pairs = [p for p in pairs if p["clean"]][:TARGET_CLEAN_PAIRS]
+    effs = [p["eff_docs"] for p in clean_pairs]
+    effs_p = [p["eff_postings"] for p in clean_pairs]
+    underpowered = len(clean_pairs) < TARGET_CLEAN_PAIRS
+    mean_eff = sum(effs) / len(effs) if effs else float("nan")
+    mean_eff_p = sum(effs_p) / len(effs_p) if effs_p else float("nan")
 
     trial_rows = ""
-    for cores in (LEVEL_N, LEVEL_4N):
-        for i, r in enumerate(trials[cores]):
+    for p in pairs:
+        for lvl, r in ((LEVEL_N, p["trialN"]), (LEVEL_4N, p["trial4N"])):
             trial_rows += (
-                f"| local[{cores}] trial {i} | {r['build']['docs_per_sec']:,.1f} | "
+                f"| pair {p['idx']} ({p['order']}) local[{lvl}] | "
+                f"{r['build']['docs_per_sec']:,.1f} | "
                 f"{r['queries']['index_build']} | {r['query_mean_s']} | "
                 f"{noise_of(r)}% | {'clean' if is_clean(r) else 'dirty'} |\n"
             )
+    pair_rows = ""
+    for p in pairs:
+        inc = "headline" if p in clean_pairs else (
+            "clean (beyond first 4)" if p["clean"] else "dirty — excluded")
+        pair_rows += (
+            f"| {p['idx']} | {p['order']} | "
+            f"{p['trialN']['build']['docs_per_sec']:,.1f} | "
+            f"{p['trial4N']['build']['docs_per_sec']:,.1f} | "
+            f"{p['eff_docs']:.3f} | {p['eff_postings']:.3f} | {inc} |\n"
+        )
 
-    both_clean = cleanN and clean4
-    md = f"""# BENCH/SCALING — measured engine numbers (two parallelism levels)
+    md = f"""# BENCH/SCALING (round 4) — pre-registered same-window-pair protocol
 
-Scaling criterion (BASELINE.json north_rule): throughput scaling
-efficiency >= 0.8 from N to 4N executors. No real cluster exists in this
-sandbox, so the two "cluster sizes" are **local[{LEVEL_N}] vs
-local[{LEVEL_4N}] on the same machine and the same deterministic input**
-({N_DOCS:,} synthetic docs, seed 42 — FIXTURES.md §1). Caveats, stated
-plainly:
+Protocol: BENCH/SCALING_PROTOCOL.md (committed before this run). Unit =
+interleaved same-window pair local[{LEVEL_N}]+local[{LEVEL_4N}]
+back-to-back on identical input ({N_DOCS:,} synthetic docs, seed 42),
+in-pair order alternating; pair clean iff both trials' build- and
+query-phase sys+steal <= {NOISE_THRESHOLD_PCT}%; headline = MEAN
+per-pair efficiency over the first {TARGET_CLEAN_PAIRS} clean pairs.
 
-1. Both runs share one machine's memory bandwidth and page cache — a real
-   4N-node cluster adds bandwidth with nodes, so this proxy is
-   conservative for shuffle/scan stages.
-2. The sandbox is a shared-host VM with measurable CPU steal; identical
-   runs swing up to 4x. Trials are interleaved ({LEVEL_N},{LEVEL_4N},...)
-   and EVERY trial carries /proc/stat noise windows for both the build
-   and the query phase (sys+steal <= {NOISE_THRESHOLD_PCT}% = clean).
-   The reported number per level is the best CLEAN trial; all trials are
-   listed below. **Both published levels clean: {both_clean}.**
+**Headline: mean eff = {mean_eff:.3f}** over {len(clean_pairs)} clean
+pairs (spread {min(effs, default=float('nan')):.3f}–{max(effs, default=float('nan')):.3f});
+postings/sec mean eff = {mean_eff_p:.3f}.
+Under-powered (fewer than {TARGET_CLEAN_PAIRS} clean pairs): {underpowered}.
+Target (BASELINE.json): >= 0.8.
 
-| metric | local[{LEVEL_N}] (N) | local[{LEVEL_4N}] (4N) | efficiency tput@4N / (4 x tput@N) |
-| --- | --- | --- | --- |
-| index build docs/sec (best clean) | {tputN:,.1f} | {tput4:,.1f} | **{eff:.3f}** |
-| index build postings/sec (best clean) | {pN:,.1f} | {p4:,.1f} | {eff_p:.3f} |
-| index build wall s | {bestN['queries']['index_build']} | {best4['queries']['index_build']} | |
-| build sys+steal % | {noise_of(bestN)} | {noise_of(best4)} | |
-| query mean s (pruned, warm) | {bestN['query_mean_s']} | {best4['query_mean_s']} | |
-| query p95 s (pruned, warm) | {bestN['query_p95_s']} | {best4['query_p95_s']} | |
-| compression bytes_out/raw | {bestN['build']['compression_ratio']:.4f} | {best4['build']['compression_ratio']:.4f} | |
-| postings | {bestN['build']['n_postings']:,} | | |
+Per-pair efficiencies:
 
-All trials (interleaved execution order):
+| pair | order | docs/s @local[{LEVEL_N}] | docs/s @local[{LEVEL_4N}] | eff docs | eff postings | status |
+| --- | --- | --- | --- | --- | --- | --- |
+{pair_rows}
+All trials (execution order):
 
 | run | docs/sec | build s | query mean s | max(build,query) sys+steal | window |
 | --- | --- | --- | --- | --- | --- |
 {trial_rows}
-Per-query latencies (seconds, warm index, pruned BMW path, best trials):
-
-| query | local[{LEVEL_N}] | local[{LEVEL_4N}] |
-| --- | --- | --- |
-"""
-    for name in bestN["queries"]:
-        if name == "index_build":
-            continue
-        md += f"| {name} | {bestN['queries'][name]} | {best4['queries'].get(name, '')} |\n"
-    md += f"""
-Raw JSON (best trials):
+Raw JSON:
 
 ```json
-{json.dumps({'levelN': bestN, 'level4N': best4,
-             'scaling_efficiency_docs': round(eff, 4),
-             'scaling_efficiency_postings': round(eff_p, 4),
-             'both_levels_clean': both_clean}, indent=2)}
+{json.dumps({'pairs': [{k: v for k, v in p.items() if k not in ('trialN', 'trial4N')} for p in pairs],
+             'mean_eff_docs': None if not effs else round(mean_eff, 4),
+             'mean_eff_postings': None if not effs_p else round(mean_eff_p, 4),
+             'n_clean_pairs': len(clean_pairs),
+             'underpowered': underpowered,
+             'trials': {f"pair{p['idx']}": {'N': p['trialN'], '4N': p['trial4N']} for p in pairs}},
+            indent=2)}
 ```
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     tag = f"{N_DOCS // 1000}k" if N_DOCS < 1_000_000 else f"{N_DOCS // 1_000_000}M"
-    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}.md"
+    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}_r4.md"
     with open(out_md, "w") as fh:
         fh.write(md)
-    print(f"eff(docs/sec) = {eff:.3f}; eff(postings/sec) = {eff_p:.3f}; "
-          f"both_clean = {both_clean}; wrote {out_md} in {time.time() - t0:.0f}s "
-          f"(merge highlights into BENCH/BASELINE.md manually)")
+    print(f"mean eff(docs/sec) = {mean_eff:.3f} over {len(clean_pairs)} clean "
+          f"pairs; underpowered = {underpowered}; wrote {out_md} in "
+          f"{time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":
