@@ -103,7 +103,8 @@ AND_CHUNK_BLOCKS = 32  # rarest-list blocks per candidate chunk (~4k docs)
 
 
 def shard_topk_and(
-    slices: list[tuple[str, float, TermSlice]], k: int, avgdl: float
+    slices: list[tuple[str, float, TermSlice]], k: int, avgdl: float,
+    use_bounds: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive kernel with block-max score pruning (the conjunctive
     half of BMW). ``slices`` rarest-first: (term, idf, slice).
@@ -121,6 +122,10 @@ def shard_topk_and(
     so score==theta ties that win on doc_id ASC survive); survivors
     accumulate partials in the same rarest-first float64 order, keeping
     scores bitwise identical to the unpruned walk.
+
+    ``use_bounds=False`` disables the theta pruning (the chunked leapfrog
+    intersection still runs) — the A/B arm for measuring what the bounds
+    buy (BENCH/AND_PRUNING_AB); results are rank-identical either way.
     """
     _, idf0, s0 = slices[0]
     rest = slices[1:]
@@ -137,7 +142,7 @@ def shard_topk_and(
         batch = np.arange(b0, min(b0 + AND_CHUNK_BLOCKS, s0.n_blocks))
         ids, tfs, dls = s0.decode_blocks(batch)
         score = _partial(tfs, dls, idf0, avgdl)
-        if top_ids.size >= k:
+        if use_bounds and top_ids.size >= k:
             keep = score + ub_suffix[0] >= theta
             ids, score = ids[keep], score[keep]
         for i, (_, idf, sl) in enumerate(rest):
@@ -149,7 +154,7 @@ def shard_topk_and(
             ids, score, blk = ids[ok], score[ok], blk[ok]
             if ids.size == 0:
                 break
-            if top_ids.size >= k:
+            if use_bounds and top_ids.size >= k:
                 bound = score + idf * sl.max_tfn[blk] + ub_suffix[i + 1]
                 keep = bound >= theta
                 ids, score, blk = ids[keep], score[keep], blk[keep]

@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
-UDF signatures) is real and tested; the actual codec work is STUBBED —
-this container ships no image/audio libraries — behind
-``_decode_image_impl``, which raises ``NotImplementedError`` unless
-``deterministic_fake=True`` is requested (the fake derives features from
-the payload bytes, so tests exercise the full distributed path end to end).
+UDF signatures) is real and tested; the codec work is OPPORTUNISTIC —
+``_decode_image_impl`` tries a real Pillow decode at call time and raises
+``NotImplementedError`` only when no image library is importable (this
+container ships none). ``deterministic_fake=True`` selects a library-free
+fake that derives features from the payload bytes, so tests and oracles
+exercise the full distributed path end to end either way.
 
 Scale notes: payloads stay in executor memory exactly one Arrow batch at a
 time (mapInPandas iterator); never groupBy on payload columns; metadata
@@ -46,17 +47,38 @@ def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     )
 
 
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decode path, active iff an image library is importable in the
+    executor's Python (opportunistic — this container ships none, so the
+    import guard keeps the distributed plumbing usable either way).
+    Feature: decode -> grayscale -> 8 equal row bands -> band mean / 255,
+    matching the fake's 8-dim shape."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an image codec library (e.g. Pillow) in "
+            "the executor Python; none is installed in this container — "
+            "pass deterministic_fake=True for the library-free test path"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        arr = np.asarray(im.convert("L"), dtype=np.float64)
+    bands = np.array_split(arr, 8, axis=0)
+    return np.array(
+        [b.mean() / 255.0 if b.size else 0.0 for b in bands], dtype=np.float64
+    )
+
+
 def _decode_image_impl(payload: bytes, deterministic_fake: bool) -> np.ndarray:
-    """STUB: real decode needs an image library not present in this
-    container. The fake is a deterministic 8-dim feature from the bytes:
+    """Deterministic fake (oracle path) or opportunistic real decode. The
+    fake is a deterministic 8-dim feature from the bytes:
     feat[j] = mean of bytes at positions p ≡ j (mod 8), p < 1024, / 255,
     all in float64 — integer byte sums are exact, so the DuckDB oracle
     (avg over the same stride) reproduces it bit-for-bit."""
     if not deterministic_fake:
-        raise NotImplementedError(
-            "image decode requires an image codec library (not in this "
-            "container); pass deterministic_fake=True for the test path"
-        )
+        return _decode_image_real(payload)
     arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float64)
     out = np.zeros(8, dtype=np.float64)
     for j in range(8):

@@ -37,12 +37,50 @@ from .search import Query
 
 
 # Collect the (term, df) lexicon into the driver when the vocabulary is
-# at most this many terms (~40 B/entry -> <=160 MB): the per-query lexicon
-# probe then costs a dict lookup instead of a Spark job, halving the jobs
-# on the single-query path. A 10^12-file code corpus's identifier
-# vocabulary can exceed this — the distributed probe stays as the
-# fallback, chosen automatically from the lexicon row count.
+# at most this many terms: the per-query lexicon probe then costs a
+# binary search instead of a Spark job, halving the jobs on the
+# single-query path. The cache is two parallel term-sorted Arrow/numpy
+# arrays (NOT a Python dict — 4M str->int dict entries cost 400-700 MB
+# of object headers; the arrays cost len(term)+4B offsets+8B df per
+# entry, ~25 B at code-identifier lengths -> ~100 MB at 4M terms, and
+# the actual bytes are measured and enforced by
+# LEXICON_DRIVER_CACHE_MAX_BYTES below). A 10^12-file code corpus's
+# identifier vocabulary can exceed this — the distributed probe stays as
+# the fallback, chosen automatically from the lexicon row count.
 LEXICON_DRIVER_CACHE_MAX_TERMS = 4_000_000
+# hard byte ceiling on the collected arrays (term count is a proxy; the
+# measured Arrow buffer size is the truth): above this the cache is
+# dropped and the distributed probe is used
+LEXICON_DRIVER_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+
+class _DriverLexicon:
+    """Driver-side (term -> df) probe over two parallel sorted arrays.
+
+    ``terms`` is a term-sorted pyarrow string array (UTF-8 byte order ==
+    Python str code-point order, so binary search with as_py comparisons
+    is exact); ``dfs`` the matching int64 numpy array. O(log n) string
+    materializations per probe, ~(avg_term_len + 12) bytes per entry.
+    """
+
+    __slots__ = ("terms", "dfs", "nbytes")
+
+    def __init__(self, terms, dfs, nbytes: int) -> None:
+        self.terms = terms
+        self.dfs = dfs
+        self.nbytes = nbytes
+
+    def get(self, term: str) -> int | None:
+        lo, hi = 0, len(self.terms)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.terms[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(self.terms) and self.terms[lo].as_py() == term:
+            return int(self.dfs[lo])
+        return None
 
 
 class IndexSearcher:
@@ -63,20 +101,27 @@ class IndexSearcher:
             lexicon_driver_cache = (
                 self.lexicon.count() <= LEXICON_DRIVER_CACHE_MAX_TERMS
             )
-        self._df_by_term: dict[str, int] | None = None
+        self._driver_lex: _DriverLexicon | None = None
         if lexicon_driver_cache:
-            self._df_by_term = {
-                r["term"]: int(r["df"])
-                for r in self.lexicon.select("term", "df").collect()
-            }
+            # Arrow collect keeps the strings in two flat buffers (offsets
+            # + bytes) instead of 4M boxed Python objects
+            import pyarrow.compute as pc
+
+            tbl = self.lexicon.select("term", "df").toArrow()
+            order = pc.sort_indices(tbl["term"])
+            terms = tbl["term"].take(order).combine_chunks()
+            dfs = tbl["df"].take(order).combine_chunks().to_numpy()
+            nbytes = terms.nbytes + dfs.nbytes
+            if nbytes <= LEXICON_DRIVER_CACHE_MAX_BYTES:
+                self._driver_lex = _DriverLexicon(terms, dfs, nbytes)
 
     # --- planning (P4 lexicon probe + T4 rarest-first) -----------------------
 
     def _probe_df(self, terms: list[str]) -> dict[str, int]:
         """term -> global df for the given terms; OOV terms absent."""
-        if self._df_by_term is not None:
-            return {t: self._df_by_term[t] for t in terms
-                    if t in self._df_by_term}
+        if self._driver_lex is not None:
+            probed = {t: self._driver_lex.get(t) for t in terms}
+            return {t: df for t, df in probed.items() if df is not None}
         rows = (
             self.lexicon.filter(F.col("term").isin(list(terms)))
             .select("term", "df")
@@ -96,7 +141,9 @@ class IndexSearcher:
     # --- public API -----------------------------------------------------------
 
     def search(self, query: Query, method: str = "pruned",
-               decorate: bool = True) -> DataFrame:
+               decorate: bool = True, and_bounds: bool = True) -> DataFrame:
+        """``and_bounds=False`` disables the conjunctive kernel's
+        block-max theta pruning (A/B arm — rank-identical results)."""
         planned = self.plan_terms(query)
         n_query_terms = len(set(query.terms))
         if not planned or (query.mode == "AND" and len(planned) < n_query_terms):
@@ -104,7 +151,7 @@ class IndexSearcher:
         if method == "exhaustive":
             topk = self._exhaustive(planned, query)
         elif method == "pruned":
-            topk = self._pruned(planned, query)
+            topk = self._pruned(planned, query, and_bounds=and_bounds)
         else:
             raise ValueError(f"unknown method {method!r}")
         return self._decorate(topk) if decorate else topk
@@ -152,7 +199,7 @@ class IndexSearcher:
 
     # --- path 3b: per-shard DAAT/BMW kernel ------------------------------------
 
-    def _pruned(self, planned, query: Query) -> DataFrame:
+    def _pruned(self, planned, query: Query, and_bounds: bool = True) -> DataFrame:
         terms = [t for t, _, _ in planned]
         idf_by_term = {t: idf for t, _, idf in planned}
         order = [t for t, _, _ in planned]  # already rarest-first
@@ -172,8 +219,11 @@ class IndexSearcher:
             if not slices:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float64")})
-            fn = shard_topk_and if mode == "AND" else shard_topk_or
-            ids, scores = fn(slices, k, avgdl)
+            if mode == "AND":
+                ids, scores = shard_topk_and(slices, k, avgdl,
+                                             use_bounds=and_bounds)
+            else:
+                ids, scores = shard_topk_or(slices, k, avgdl)
             return pd.DataFrame({"doc_id": ids.astype("int64"),
                                  "score": scores.astype("float64")})
 
@@ -192,6 +242,7 @@ class IndexSearcher:
         self,
         queries: dict[int, Query] | list[tuple[int, Query]],
         decorate: bool = False,
+        max_terms_per_chunk: int | None = None,
     ) -> DataFrame:
         """Answer MANY queries in ONE postings scan -> (query_id, rank,
         doc_id, score).
@@ -203,6 +254,15 @@ class IndexSearcher:
         per-query window top-k merges n_shards*k candidate rows. Scores
         are bitwise identical to the single-query pruned path (same
         rarest-first slice order, same kernels).
+
+        ``max_terms_per_chunk`` bounds the DISTINCT terms any single
+        scan+kernel job carries: a giant batch whose term set covers most
+        of the vocabulary makes each shard kernel decode most of the
+        index in one working set; chunking (queries greedily grouped by
+        term overlap, one scan per chunk) keeps the per-kernel decoded
+        set bounded at the cost of more jobs. Per-query results are
+        identical either way (chunks partition the QUERIES, never one
+        query's terms).
         """
         items = list(queries.items()) if isinstance(queries, dict) else list(queries)
         all_terms = sorted({t for _, q in items for t in q.terms})
@@ -222,6 +282,45 @@ class IndexSearcher:
             )
         if not qplans:
             return self._empty_batch(decorate)
+        chunks = self._chunk_qplans(qplans, max_terms_per_chunk)
+        parts = [self._batch_topk(ch) for ch in chunks]
+        topk = parts[0]
+        for p in parts[1:]:
+            topk = topk.unionByName(p)
+        return self._decorate_batch(topk) if decorate else topk
+
+    @staticmethod
+    def _chunk_qplans(
+        qplans: dict[int, tuple], max_terms: int | None
+    ) -> list[dict[int, tuple]]:
+        """Greedy term-overlap grouping: queries sorted by term signature
+        (so near-duplicate term sets land adjacent), packed until the
+        chunk's distinct-term union would exceed ``max_terms``."""
+        if not max_terms:
+            return [qplans]
+        ordered = sorted(
+            qplans.items(),
+            key=lambda kv: tuple(sorted(t for t, _ in kv[1][2])),
+        )
+        chunks: list[dict[int, tuple]] = []
+        cur: dict[int, tuple] = {}
+        cur_terms: set[str] = set()
+        for qid, plan in ordered:
+            terms = {t for t, _ in plan[2]}
+            if cur and len(cur_terms | terms) > max_terms:
+                chunks.append(cur)
+                cur, cur_terms = {}, set()
+            cur[qid] = plan
+            cur_terms |= terms
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    def _batch_topk(
+        self, qplans: dict[int, tuple[str, int, list[tuple[str, float]]]]
+    ) -> DataFrame:
+        """One scan + per-shard multi-query kernel + per-query window
+        top-k over the given query plans."""
         scan_terms = sorted({t for _, _, tl in qplans.values() for t, _ in tl})
         avgdl = self.avgdl
 
@@ -275,7 +374,7 @@ class IndexSearcher:
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", "doc_id", "score")
         )
-        return self._decorate_batch(topk) if decorate else topk
+        return topk
 
     # --- shared tail ------------------------------------------------------------
 

@@ -104,16 +104,26 @@ print('RESULT ' + json.dumps({{
     'sys_steal_pct': round(mix['sys'] + mix['steal'], 1)}}))
 spark.stop()
 """
+    # start_new_session puts the driver AND its JVM/worker children in
+    # their own process group, so a timeout kills exactly this run's
+    # process tree — never a concurrently running Spark session
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, start_new_session=True)
     try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=RUN_CAP_S)
+        stdout, stderr = proc.communicate(timeout=RUN_CAP_S)
     except subprocess.TimeoutExpired:
-        # the SIGKILLed python driver can orphan the JVM + worker daemons
-        os.system("pkill -9 -f 'pyspark-shell' 2>/dev/null; "
-                  "pkill -9 -f 'pyspark.daemon' 2>/dev/null")
+        import signal
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
         time.sleep(5)
         return {"tokenizer": tokenizer, "dnf": True,
                 "cap_s": round(RUN_CAP_S, 0)}
+    out = subprocess.CompletedProcess(proc.args, proc.returncode,
+                                      stdout, stderr)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])

@@ -51,3 +51,47 @@ def test_batch_decorated_schema(searcher):
 def test_batch_empty_inputs(searcher):
     assert searcher.search_batch({}).count() == 0
     assert searcher.search_batch({1: Query(("oovterm",), "AND")}).count() == 0
+
+
+def test_batch_chunked_equals_unchunked(searcher):
+    """max_terms_per_chunk partitions the QUERIES across several scans;
+    per-query results must be identical to the single-scan batch."""
+    base = {qid: sorted(
+        (r["rank"], r["doc_id"], r["score"])
+        for r in searcher.search_batch(BATCH).collect()
+        if r["query_id"] == qid
+    ) for qid in BATCH}
+    for max_terms in (2, 3, 100):
+        got = {qid: [] for qid in BATCH}
+        for r in searcher.search_batch(
+                BATCH, max_terms_per_chunk=max_terms).collect():
+            got[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+        for qid in got:
+            assert sorted(got[qid]) == base[qid], (max_terms, qid)
+
+
+def test_chunk_qplans_bounds_and_covers():
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+
+    qplans = {
+        1: ("OR", 10, [("a", 1.0), ("b", 1.0)]),
+        2: ("OR", 10, [("a", 1.0), ("b", 1.0)]),   # identical sig -> same chunk
+        3: ("AND", 10, [("c", 1.0), ("d", 1.0), ("e", 1.0)]),
+        4: ("OR", 10, [("f", 1.0)]),
+    }
+    chunks = IndexSearcher._chunk_qplans(qplans, 3)
+    assert sorted(q for ch in chunks for q in ch) == [1, 2, 3, 4]
+    for ch in chunks:
+        terms = {t for _, _, tl in ch.values() for t, _ in tl}
+        # a single query may exceed the bound alone; multi-query chunks may not
+        assert len(terms) <= 3 or len(ch) == 1
+    # no limit -> one chunk
+    assert IndexSearcher._chunk_qplans(qplans, None) == [qplans]
+
+
+def test_and_bounds_off_rank_identical(searcher):
+    for q in (BATCH[2], BATCH[3]):
+        on = searcher.search(q, "pruned", decorate=False).collect()
+        off = searcher.search(q, "pruned", decorate=False,
+                              and_bounds=False).collect()
+        assert [tuple(r) for r in on] == [tuple(r) for r in off]

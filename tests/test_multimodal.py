@@ -29,9 +29,35 @@ def test_binary_meta(media):
     assert out[2]["n_bytes"] == 0
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="real codec present")
 def test_image_features_stub_raises_without_fake(media):
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         multimodal.image_features(media, "media_id", "payload").collect()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="no image library")
+def test_image_features_real_path(spark):
+    """Opportunistic real decode: active the day the image grows Pillow.
+    An all-gray 16x16 PNG must band-mean to 0.5 (127.5/255) per band."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "media_id long, payload binary")
+    (row,) = multimodal.image_features(df, "media_id", "payload").collect()
+    assert row["n_bytes"] == len(buf.getvalue())
+    assert all(abs(v - 128.0 / 255.0) < 1e-12 for v in row["feat"])
 
 
 def test_image_features_fake_path(media):

@@ -83,8 +83,13 @@ def test_lexicon_probe_paths_agree(spark, index_root, searcher):
     from nyu_search_engine_spark.plans.search_index import IndexSearcher
 
     dist = IndexSearcher(spark, index_root, lexicon_driver_cache=False)
-    assert dist._df_by_term is None
-    assert searcher._df_by_term is not None
+    assert dist._driver_lex is None
+    assert searcher._driver_lex is not None
+    # the measured-bytes bound the cache gate enforces must hold: the
+    # arrays cost (term bytes + 4B offset + 8B df) per entry, nowhere
+    # near a Python dict's object overhead
+    lex = searcher._driver_lex
+    assert lex.nbytes <= 32 * len(lex.terms) + 64
     for q in (QUERIES[1], QUERIES[4], QUERIES[7], QUERIES[8]):
         assert dist.plan_terms(q) == searcher.plan_terms(q)
         assert _rows(dist.search(q, "pruned", decorate=False)) == _rows(
