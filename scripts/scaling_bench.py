@@ -1,11 +1,15 @@
 """Two-cluster-size scaling run (BASELINE.json north_rule / SURVEY.md §6).
 
-Implements the PRE-REGISTERED protocol in BENCH/SCALING_PROTOCOL.md
-(committed before any round-4 measurement): the unit is an interleaved
-same-window pair (local[N] + local[4N] back-to-back, in-pair order
-alternating), a pair is clean iff both trials' build- and query-phase
-sys+steal <= 15%, and the headline is the MEAN per-pair efficiency over
-the first 4 clean pairs — no post-hoc selection.
+Implements the PRE-REGISTERED protocol in BENCH/SCALING_PROTOCOL.md,
+**amendment v2** (committed before any v2 run): the unit is an
+interleaved same-window pair (local[N] + local[4N] back-to-back, in-pair
+order alternating); a trial is clean iff build- and query-phase
+sys+steal <= 15% AND build-phase thread utilization >= 75%
+(user% x host CPUs / requested cores — the stall signal the sys+steal
+gate cannot see); both levels build from a shared parquet corpus scan
+(cache_input=False, the input_hint shape, smaller guest footprint); the
+headline is the MEAN per-pair efficiency over the first 4 clean pairs —
+no post-hoc selection.
 
 Usage: python scripts/scaling_bench.py [n_docs] [max_pairs]
 Env:   SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_SCALE_BUDGET_S
@@ -56,6 +60,10 @@ def run_at(cores: int) -> dict:
     raise RuntimeError(f"bench at local[{cores}] failed:\n{out.stderr[-3000:]}")
 
 
+HOST_CPUS = os.cpu_count() or 32
+MIN_THREAD_UTIL_PCT = 75.0  # amendment v2: build-phase stall gate
+
+
 def noise_of(r: dict) -> float:
     b = r.get("build_cpu_mix", {})
     q = r.get("query_cpu_mix", {})
@@ -63,19 +71,29 @@ def noise_of(r: dict) -> float:
                      q.get("sys", 0.0) + q.get("steal", 0.0)), 1)
 
 
+def util_of(r: dict) -> float:
+    """Build-phase utilization of the REQUESTED threads: /proc/stat user%
+    is normalized over all host CPUs, so a healthy local[c] build shows
+    user ~= c/HOST_CPUS; below ~75% of that the threads sat in memory-
+    fault wait (the stall mode sys+steal cannot see)."""
+    b = r.get("build_cpu_mix", {})
+    return round(b.get("user", 0.0) * HOST_CPUS / max(1, r["cores"]), 1)
+
+
 def is_clean(r: dict) -> bool:
-    return noise_of(r) <= NOISE_THRESHOLD_PCT
+    return (noise_of(r) <= NOISE_THRESHOLD_PCT
+            and util_of(r) >= MIN_THREAD_UTIL_PCT)
 
 
 def main() -> None:
     t0 = time.time()
-    # >=750k docs cannot hold a deserialized corpus persist on the 8g heap
-    # (host memory cliff) — switch both levels to the shared parquet-corpus
-    # build (bench.py SPARK_GRAFT_BENCH_CORPUS_PARQUET): identical input
-    # bytes for every trial, heap reserved for the build itself.
-    if N_DOCS >= 750_000 and not os.environ.get(
-            "SPARK_GRAFT_BENCH_CORPUS_PARQUET"):
-        os.environ["SPARK_GRAFT_BENCH_CORPUS_PARQUET"] = "/tmp/scaling_corpus"
+    # amendment v2: both levels ALWAYS build from the shared parquet
+    # corpus (bench.py SPARK_GRAFT_BENCH_CORPUS_PARQUET, cache_input=False)
+    # — identical input bytes for every trial, the input_hint's columnar
+    # shape, and a smaller guest footprint (the in-heap corpus persist
+    # pushed the guest toward the host's ~16 GiB fast-backing watermark)
+    os.environ.setdefault("SPARK_GRAFT_BENCH_CORPUS_PARQUET",
+                          "/tmp/scaling_corpus")
 
     pairs: list[dict] = []
     for t in range(MAX_PAIRS):
@@ -96,7 +114,7 @@ def main() -> None:
                       f"{r['build']['docs_per_sec']} docs/s, "
                       f"build {r['queries']['index_build']}s, "
                       f"query mean {r['query_mean_s']}s, "
-                      f"noise {noise_of(r)}% "
+                      f"noise {noise_of(r)}%, util {util_of(r)}% "
                       f"({'clean' if is_clean(r) else 'DIRTY'})",
                       flush=True)
         except RuntimeError as exc:
@@ -137,7 +155,8 @@ def main() -> None:
                 f"| pair {p['idx']} ({p['order']}) local[{lvl}] | "
                 f"{r['build']['docs_per_sec']:,.1f} | "
                 f"{r['queries']['index_build']} | {r['query_mean_s']} | "
-                f"{noise_of(r)}% | {'clean' if is_clean(r) else 'dirty'} |\n"
+                f"{noise_of(r)}% | {util_of(r)}% | "
+                f"{'clean' if is_clean(r) else 'dirty'} |\n"
             )
     pair_rows = ""
     for p in pairs:
@@ -150,14 +169,16 @@ def main() -> None:
             f"{p['eff_docs']:.3f} | {p['eff_postings']:.3f} | {inc} |\n"
         )
 
-    md = f"""# BENCH/SCALING (round 4) — pre-registered same-window-pair protocol
+    md = f"""# BENCH/SCALING (round 4, protocol v2) — pre-registered same-window pairs
 
-Protocol: BENCH/SCALING_PROTOCOL.md (committed before this run). Unit =
-interleaved same-window pair local[{LEVEL_N}]+local[{LEVEL_4N}]
-back-to-back on identical input ({N_DOCS:,} synthetic docs, seed 42),
-in-pair order alternating; pair clean iff both trials' build- and
-query-phase sys+steal <= {NOISE_THRESHOLD_PCT}%; headline = MEAN
-per-pair efficiency over the first {TARGET_CLEAN_PAIRS} clean pairs.
+Protocol: BENCH/SCALING_PROTOCOL.md amendment v2 (committed before this
+run). Unit = interleaved same-window pair local[{LEVEL_N}]+
+local[{LEVEL_4N}] back-to-back on identical input ({N_DOCS:,} synthetic
+docs, seed 42, shared parquet corpus, cache_input=False), in-pair order
+alternating; trial clean iff build- and query-phase sys+steal <=
+{NOISE_THRESHOLD_PCT}% AND build thread utilization >=
+{MIN_THREAD_UTIL_PCT}%; headline = MEAN per-pair efficiency over the
+first {TARGET_CLEAN_PAIRS} clean pairs.
 
 **Headline: mean eff = {mean_eff:.3f}** over {len(clean_pairs)} clean
 pairs (spread {min(effs, default=float('nan')):.3f}–{max(effs, default=float('nan')):.3f});
@@ -172,8 +193,8 @@ Per-pair efficiencies:
 {pair_rows}
 All trials (execution order):
 
-| run | docs/sec | build s | query mean s | max(build,query) sys+steal | window |
-| --- | --- | --- | --- | --- | --- |
+| run | docs/sec | build s | query mean s | max(build,query) sys+steal | build thread util | window |
+| --- | --- | --- | --- | --- | --- | --- | --- |
 {trial_rows}
 Raw JSON:
 
@@ -189,7 +210,7 @@ Raw JSON:
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     tag = f"{N_DOCS // 1000}k" if N_DOCS < 1_000_000 else f"{N_DOCS // 1_000_000}M"
-    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}_r4.md"
+    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}_r4v2.md"
     with open(out_md, "w") as fh:
         fh.write(md)
     print(f"mean eff(docs/sec) = {mean_eff:.3f} over {len(clean_pairs)} clean "
