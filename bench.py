@@ -70,9 +70,20 @@ def run(cores: int | None = None, n_docs: int | None = None,
         build_kwargs = {}
         if corpus_dir:
             from nyu_search_engine_spark.synth import SYNTH_VERSION
-            path = os.path.join(corpus_dir, f"corpus_{n_docs}_v{SYNTH_VERSION}")
+
+            # the corpus LAYOUT is pinned (32 files) independently of the
+            # writing trial's parallelism: a corpus written by a local[2]
+            # trial would otherwise have 2 files, capping every later
+            # trial's scan stages at ~2-3 splits and silently starving
+            # wide levels (observed: v2 scaling attempt 1). The file
+            # count is part of the cache key.
+            corpus_files = 32
+            path = os.path.join(
+                corpus_dir,
+                f"corpus_{n_docs}_v{SYNTH_VERSION}_p{corpus_files}")
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                synth_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+                synth_corpus(spark, n_docs).repartition(corpus_files) \
+                    .write.mode("overwrite").parquet(path)
             corpus = spark.read.parquet(path)
             build_kwargs["cache_input"] = False
         else:
