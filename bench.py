@@ -117,6 +117,7 @@ def run(cores: int | None = None, n_docs: int | None = None,
             "n_shards": m["n_shards"],
             "docs_stage_s": round(m["docs_stage_s"], 2),
             "lexicon_stage_s": round(m["lexicon_stage_s"], 2),
+            "phases": m.get("phases", {}),
         }
 
         searcher = IndexSearcher(spark, idx_root)

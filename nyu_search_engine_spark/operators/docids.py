@@ -9,7 +9,9 @@ Scalable two-pass plan (no single-partition window, no collect of data):
   1. repartitionByRange(sort_keys) + sortWithinPartitions  -> global order
      split across P range-ordered partitions            [the only shuffle]
   2. per-partition row counts -> driver prefix-sum (P integers)
-  3. mapInPandas adds partition base offset + running position
+  3. pure-JVM projection adds base offset + partition-local record number
+     (monotonically_increasing_id low 33 bits) — zero Python, the corpus
+     content never crosses the Arrow boundary
 
 The result is partitioning-invariant: doc_id == global rank in the total
 order no matter where the range boundaries fall (local[1] == local[32]).
@@ -19,7 +21,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +35,22 @@ class DocIdAssignment:
     df: DataFrame          # input columns + doc_id (+ optional pid col)
     n_docs: int            # corpus count, free from the prefix-sum pass
     ranged_cache: DataFrame  # persisted intermediate; caller unpersists
+    counts: dict[int, int]   # per-range-partition row counts
+    offsets: dict[int, int]  # per-partition first doc_id (prefix sums)
+
+    @property
+    def shard_bounds(self) -> list[list[int]]:
+        """[[pid, max_doc_id], ...] for non-empty partitions, ascending.
+
+        Because ids are assigned densely in partition order, partition p
+        holds exactly [offsets[p], offsets[p]+counts[p]-1] — the builder's
+        fast-mode shard bounds come free from the prefix-sum pass (no
+        extra job over the tokenized cache)."""
+        return [
+            [pid, self.offsets[pid] + self.counts[pid] - 1]
+            for pid in sorted(self.counts)
+            if self.counts[pid] > 0
+        ]
 
 
 def assign_doc_ids(
@@ -78,33 +95,36 @@ def assign_doc_ids_full(
             offsets[pid] = acc
             acc += counts.get(pid, 0)
 
-        out_schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        ) + ", doc_id long"
+        # Pure-JVM id attach (the former mapInPandas round-tripped the
+        # ENTIRE corpus — content column included — through
+        # Arrow->pandas->Arrow just to add an integer column; at the wide
+        # parallelism level that serialization is pure memory-bandwidth
+        # tax). monotonically_increasing_id() is documented as
+        # (partition_id << 33) | partition-local record number, and rows
+        # stream in sorted order (sortWithinPartitions over UNIQUE keys is
+        # order-deterministic), so
+        #   doc_id = offsets[pid] + (mid & (2^33 - 1))
+        # reproduces the dense global rank exactly (test_docids asserts
+        # parallelism invariance + golden ids).
+        offs_arr = F.array(*[F.lit(int(offsets.get(i, 0))) for i in range(p)])
+        local_idx = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
         cols = [f.name for f in df.schema.fields]
-        if keep_pid_col:
-            out_schema += f", {keep_pid_col} int"
-
-        def add_ids(batches):
-            pos = -1
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                pid = int(pdf["_pid"].iloc[0])
-                if pos < 0:
-                    pos = offsets[pid]
-                ids = np.arange(pos, pos + len(pdf), dtype=np.int64)
-                pos += len(pdf)
-                out = pdf[cols].assign(doc_id=ids)
-                if keep_pid_col:
-                    out[keep_pid_col] = np.int32(pid)
-                yield out
-
-        out = ranged.mapInPandas(add_ids, schema=out_schema)
+        out = ranged.withColumn(
+            "doc_id",
+            (F.element_at(offs_arr, F.col("_pid") + 1) + local_idx)
+            .cast("long"),
+        ).select(
+            *cols, "doc_id",
+            *([F.col("_pid").cast("int").alias(keep_pid_col)]
+              if keep_pid_col else []),
+        )
         # ranged stays persisted: the caller unpersists it once downstream
         # frames are materialized (unpersisting `out` would NOT release it).
         # n_docs comes free from the prefix-sum pass (no extra job).
-        return DocIdAssignment(df=out, n_docs=acc, ranged_cache=ranged)
+        return DocIdAssignment(df=out, n_docs=acc, ranged_cache=ranged,
+                               counts=counts, offsets=offsets)
     except Exception:
         ranged.unpersist()
         raise

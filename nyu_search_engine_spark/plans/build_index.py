@@ -59,6 +59,40 @@ def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+class _PhaseClock:
+    """Per-phase wall + host-CPU mix (scaling diagnosis: a phase whose
+    wall time does NOT shrink with parallelism, or whose user% stays flat
+    while threads were added, is the scaling bottleneck). Reads
+    /proc/stat at phase boundaries — no Spark interaction, ~free."""
+
+    def __init__(self) -> None:
+        self.phases: dict[str, dict] = {}
+
+    @staticmethod
+    def _stat() -> list[int]:
+        try:
+            with open("/proc/stat") as fh:
+                return list(map(int, fh.readline().split()[1:9]))
+        except OSError:  # non-Linux fallback: wall only
+            return []
+
+    def start(self) -> tuple[float, list[int]]:
+        return time.time(), self._stat()
+
+    def stop(self, name: str, token: tuple[float, list[int]]) -> None:
+        t0, s0 = token
+        wall = time.time() - t0
+        rec = {"wall_s": round(wall, 2)}
+        s1 = self._stat()
+        if s0 and s1:
+            d = [b - a for a, b in zip(s0, s1)]
+            tot = max(1, sum(d))
+            rec["user_pct"] = round(100 * (d[0] + d[1]) / tot, 1)
+            rec["sys_pct"] = round(100 * d[2] / tot, 1)
+            rec["idle_pct"] = round(100 * (d[3] + d[4]) / tot, 1)
+        self.phases[name] = rec
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -95,6 +129,7 @@ def build_index(
     """
     t0 = time.time()
     metrics: dict = {"n_groups": n_groups}
+    clock = _PhaseClock()
 
     docs_path = table_path(out, DOCS_DIR)
     stats_path = table_path(out, STATS_DIR)
@@ -144,8 +179,10 @@ def build_index(
     # stage then needs NO shuffle at all (sort + assemble are
     # partition-local); the reference's temp-run merge happens inside the
     # per-partition ExternalSorter.
+    tk = clock.start()
     assignment = assign_doc_ids_full(corpus_cached, num_partitions=p_assign,
                                      keep_pid_col="shard" if fast_mode else None)
+    clock.stop("assign", tk)  # range shuffle + cache + prefix-sum collect
     assigned = assignment.df
     ranged_cache = assignment.ranged_cache
     # Tokenizer selection (measured — BENCH/TOKENIZER_AB_{100k,500k,1M}.md,
@@ -230,6 +267,7 @@ def build_index(
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
     t_docs = time.time()
+    tk = clock.start()
     docs_stage_ran = not (resume and _exists(docs_path) and _exists(stats_path))
     if docs_stage_ran:
         # Observation fuses the corpus-stats aggregate INTO the docs write
@@ -261,6 +299,7 @@ def build_index(
     n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
     metrics["docs_stage_s"] = time.time() - t_docs
+    clock.stop("docs_write", tk)  # tokenize + sha256 + docs/stats write
 
     metrics["shard_size"] = shard_size
     metrics["fast_mode"] = fast_mode
@@ -285,13 +324,12 @@ def build_index(
         if resume and len(done) < n_groups and shard_bounds is None:
             # record per-shard doc_id bounds so a resumed session (whose
             # range-sampled partition boundaries may differ) can derive
-            # the SAME sharding from doc_ids
-            shard_bounds = sorted(
-                [int(r["shard"]), int(r["mx"])]
-                for r in tokenized.groupBy("shard")
-                .agg(F.max("doc_id").alias("mx"))
-                .collect()
-            )
+            # the SAME sharding from doc_ids. The bounds come FREE from the
+            # assignment's prefix-sum pass (partition p holds exactly
+            # [offset[p], offset[p]+count[p]-1]) — the former
+            # tokenized.groupBy("shard").max("doc_id") job re-read the
+            # whole tokenized cache just to rediscover these numbers.
+            shard_bounds = assignment.shard_bounds
             _write_conf()
     elif use_recorded_bounds:
         # derive shard from the recorded bounds: index of the first shard
@@ -379,6 +417,7 @@ def build_index(
             )
 
     todo = [g for g in range(n_groups) if g not in done]
+    tk = clock.start()
     if parallel_groups and len(todo) > 1:
         # concurrent group jobs keep the cluster saturated (each checkpoint
         # unit is still an independent idempotent write + manifest row)
@@ -390,6 +429,7 @@ def build_index(
         for g in todo:
             run_group(g)
 
+    clock.stop("postings", tk)  # explode + sort + assemble + write + manifest
     tokenized.unpersist()
     # idempotent re-release for the resume path that skipped the docs stage
     # (the normal path already dropped these right after the docs write)
@@ -408,8 +448,10 @@ def build_index(
         F.count("*").alias("n_slices"),
         F.max("max_tfn").alias("max_tfn"),
     )
+    tk = clock.start()
     lex.write.mode("overwrite").parquet(lexicon_path)
     metrics["lexicon_stage_s"] = time.time() - t_lex
+    clock.stop("lexicon", tk)
 
     # --- build metrics (north_rule: postings/sec, bytes compressed, skew) ----
     man = spark.read.parquet(manifest_path)
@@ -419,6 +461,7 @@ def build_index(
     metrics["n_postings"] = int(agg["p"] or 0)
     metrics["bytes_out"] = int(agg["b"] or 0)
     metrics["n_shards"] = n_shards
+    metrics["phases"] = clock.phases
     metrics["wall_s"] = time.time() - t0
     metrics["docs_per_sec"] = n_docs / metrics["wall_s"]
     metrics["postings_per_sec"] = metrics["n_postings"] / metrics["wall_s"]
