@@ -296,11 +296,12 @@ def run_robust() -> dict:
         })
         if noise <= NOISE_THRESHOLD_PCT:
             break
-    # co-select on BOTH phases (VERDICT r3 #1: BENCH_r03 published a
+    # co-select on BOTH phases (VERDICT r3 #2: BENCH_r03 published a
     # best-build attempt whose query loop had stalled 4x — wait-time-bound,
     # invisible to the sys+steal gate): an attempt whose query mean is
-    # >1.5x the session's best query mean is ineligible unless every
-    # attempt is
+    # >1.5x the session's best query mean is ineligible, unless EVERY
+    # attempt is that stalled (then publish the best of what exists,
+    # self-flagged via query_coselected=False)
     best_q = min(a["query_mean_s"] for a in attempts)
     eligible = [a for a in attempts if a["query_mean_s"] <= 1.5 * best_q]
     best = max(eligible or attempts, key=lambda o: o["build"]["docs_per_sec"])

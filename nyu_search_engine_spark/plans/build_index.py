@@ -29,6 +29,7 @@ import math
 import os
 import threading
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -57,6 +58,62 @@ MANIFEST_SCHEMA = (
 
 def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _driver_write_rows(path: str, filename: str, columns: dict,
+                       schema: "pa.Schema") -> None:
+    """Write a handful of rows as one parquet file from the driver.
+
+    The 1-row stats table and the per-group manifest rows used to go
+    through ``spark.createDataFrame(...).write`` — a full Spark job
+    launch (scheduler round-trip + task) per call, pure serial time in
+    the build's critical path. pyarrow writes the identical bytes with
+    no cluster interaction; Spark reads the directory exactly as before.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(columns, schema=schema)
+    pq.write_table(tbl, os.path.join(path, filename))
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
+def _manifest_schema():
+    import pyarrow as pa
+
+    # mirrors MANIFEST_SCHEMA (Spark DDL) field-for-field so pyarrow- and
+    # Spark-written manifest files coexist in one directory
+    return pa.schema([
+        ("group", pa.int32()), ("status", pa.string()),
+        ("n_terms", pa.int64()), ("n_postings", pa.int64()),
+        ("bytes_out", pa.int64()), ("wall_ms", pa.int64()),
+        ("attempt", pa.int32()),
+    ])
+
+
+def _read_manifest_driver(manifest_path: str) -> "pd.DataFrame | None":
+    """Driver-side manifest read (resume bookkeeping + final metrics).
+
+    The manifest is O(n_groups) tiny rows on local disk; reading it with
+    Spark costs a job launch per lookup. Skips _SUCCESS/_-prefixed files
+    like Spark's parquet reader does.
+    """
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(manifest_path):
+        return None
+    files = [
+        os.path.join(manifest_path, f)
+        for f in sorted(os.listdir(manifest_path))
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+    if not files:
+        return None
+    return pd.concat(
+        [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+    )
 
 
 class _PhaseClock:
@@ -283,11 +340,16 @@ def build_index(
             "doc_id", "repo", "path", "commit", "lang", "doclen", "sha256"
         ).write.mode("overwrite").parquet(docs_path)
         o = obs.get
-        spark.createDataFrame(
-            [(int(o["n_docs"]), float(o["avgdl"] or 0.0),
-              int(o["total_tokens"] or 0))],
-            "n_docs long, avgdl double, total_tokens long",
-        ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+        n_docs, avgdl = int(o["n_docs"]), float(o["avgdl"] or 0.0)
+        import pyarrow as pa
+
+        _driver_write_rows(
+            stats_path, "part-00000.parquet",
+            {"n_docs": [n_docs], "avgdl": [avgdl],
+             "total_tokens": [int(o["total_tokens"] or 0)]},
+            pa.schema([("n_docs", pa.int64()), ("avgdl", pa.float64()),
+                       ("total_tokens", pa.int64())]),
+        )
         # the docs write materialized the tokenized cache: everything
         # downstream reads THAT cache, so the upstream corpus/ranged
         # caches (which hold the raw content column) can be released now
@@ -295,8 +357,16 @@ def build_index(
         ranged_cache.unpersist()
         if cache_input:
             corpus_cached.unpersist()
-    row = spark.read.parquet(stats_path).first()
-    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+    else:  # resumed past the docs stage: recover stats from disk
+        import pyarrow.parquet as pq
+
+        sfile = next(
+            os.path.join(stats_path, f)
+            for f in sorted(os.listdir(stats_path))
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        )
+        srow = pq.read_table(sfile).to_pandas().iloc[0]
+        n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
     metrics["docs_stage_s"] = time.time() - t_docs
     clock.stop("docs_write", tk)  # tokenize + sha256 + docs/stats write
@@ -391,29 +461,34 @@ def build_index(
             .mapInPandas(assemble_postings(avgdl, occurrences), POSTINGS_SCHEMA)
         )
         gpath = os.path.join(table_path(out, POSTINGS_DIR), f"group={g}")
-        part.write.mode("overwrite").parquet(gpath)
-        grp = spark.read.parquet(gpath).agg(
-            F.count("*").alias("n_terms"),
+        # the manifest metrics ride the postings write itself (Observation
+        # collects as rows stream to parquet) — the former
+        # spark.read.parquet(gpath).agg(...) re-read the whole group's
+        # output from disk, a full extra pass per group
+        token = uuid.uuid4().hex[:12]
+        gobs = Observation(f"group_{g}_{token}")
+        part.observe(
+            gobs,
+            F.count(F.lit(1)).alias("n_terms"),
             F.sum("df").alias("n_postings"),
             (
                 F.sum(F.octet_length("doc_ids_vb"))
                 + F.sum(F.octet_length("tfs_vb"))
                 + F.sum(F.octet_length("doclens_vb"))
             ).alias("bytes_out"),
-        ).first()
-        mrow = [
-            (
-                g, "ok",
-                int(grp["n_terms"] or 0),
-                int(grp["n_postings"] or 0),
-                int(grp["bytes_out"] or 0),
-                int((time.time() - tg) * 1000),
-                attempts.get(g, 0) + 1,
-            )
-        ]
+        ).write.mode("overwrite").parquet(gpath)
+        grp = gobs.get
         with manifest_lock:
-            spark.createDataFrame(mrow, MANIFEST_SCHEMA).write.mode("append").parquet(
-                manifest_path
+            _driver_write_rows(
+                manifest_path,
+                f"part-g{g}-a{attempts.get(g, 0) + 1}-{token}.parquet",
+                {"group": [g], "status": ["ok"],
+                 "n_terms": [int(grp["n_terms"] or 0)],
+                 "n_postings": [int(grp["n_postings"] or 0)],
+                 "bytes_out": [int(grp["bytes_out"] or 0)],
+                 "wall_ms": [int((time.time() - tg) * 1000)],
+                 "attempt": [attempts.get(g, 0) + 1]},
+                _manifest_schema(),
             )
 
     todo = [g for g in range(n_groups) if g not in done]
@@ -454,12 +529,10 @@ def build_index(
     clock.stop("lexicon", tk)
 
     # --- build metrics (north_rule: postings/sec, bytes compressed, skew) ----
-    man = spark.read.parquet(manifest_path)
-    agg = man.filter(F.col("status") == "ok").agg(
-        F.sum("n_postings").alias("p"), F.sum("bytes_out").alias("b")
-    ).first()
-    metrics["n_postings"] = int(agg["p"] or 0)
-    metrics["bytes_out"] = int(agg["b"] or 0)
+    man_pdf = _read_manifest_driver(manifest_path)
+    ok = man_pdf[man_pdf["status"] == "ok"]
+    metrics["n_postings"] = int(ok["n_postings"].sum())
+    metrics["bytes_out"] = int(ok["bytes_out"].sum())
     metrics["n_shards"] = n_shards
     metrics["phases"] = clock.phases
     metrics["wall_s"] = time.time() - t0
@@ -478,19 +551,17 @@ def build_index(
 
 
 def _completed_groups(spark: SparkSession, manifest_path: str) -> set[int]:
-    if not os.path.exists(manifest_path):
+    man = _read_manifest_driver(manifest_path)
+    if man is None:
         return set()
-    man = spark.read.parquet(manifest_path)
-    return {
-        r["group"] for r in man.filter(F.col("status") == "ok").select("group").collect()
-    }
+    return set(man.loc[man["status"] == "ok", "group"].astype(int))
 
 
 def _attempt_counts(spark: SparkSession, manifest_path: str) -> dict[int, int]:
-    if not os.path.exists(manifest_path):
+    man = _read_manifest_driver(manifest_path)
+    if man is None:
         return {}
-    man = spark.read.parquet(manifest_path)
     return {
-        r["group"]: r["a"]
-        for r in man.groupBy("group").agg(F.max("attempt").alias("a")).collect()
+        int(g): int(a)
+        for g, a in man.groupby("group")["attempt"].max().items()
     }

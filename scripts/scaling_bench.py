@@ -1,19 +1,32 @@
 """Two-cluster-size scaling run (BASELINE.json north_rule / SURVEY.md §6).
 
 Implements the PRE-REGISTERED protocol in BENCH/SCALING_PROTOCOL.md,
-**amendment v2** (committed before any v2 run): the unit is an
-interleaved same-window pair (local[N] + local[4N] back-to-back, in-pair
-order alternating); a trial is clean iff build- and query-phase
-sys+steal <= 15% AND build-phase thread utilization >= 75%
-(user% x host CPUs / requested cores — the stall signal the sys+steal
-gate cannot see); both levels build from a shared parquet corpus scan
-(cache_input=False, the input_hint shape, smaller guest footprint); the
-headline is the MEAN per-pair efficiency over the first 4 clean pairs —
-no post-hoc selection.
+**amendment v3** (committed before any v3 run):
+
+* CPU fidelity: each trial's whole process tree (JVM task/GC/JIT
+  threads, pyspark daemons, driver) runs under ``taskset -c
+  4..(4+c-1)`` — exactly c host CPUs, matching a cluster whose size IS
+  its CPU count (v2 measured local[2] consuming 109-120% of its nominal
+  allocation via helper threads on free host cores).
+* Memory fidelity: SPARK_DRIVER_MEM = 1g x c, so per-core memory is
+  constant across levels as on a real cluster.
+* Cleanliness: a trial is clean iff build- and query-phase sys+steal
+  <= 15% AND the pre-trial first-touch fault probe (after a page-cache
+  drop, immediately before launch) reads <= 20 us/page. Thread
+  utilization is recorded and reported but does NOT gate (v2's 75%
+  floor excluded the engine's own steady state — selection on the
+  dependent variable).
+* Unit/statistic unchanged: interleaved same-window pairs local[N] +
+  local[4N], in-pair order alternating; headline = MEAN per-pair
+  docs/sec efficiency over the first 4 clean pairs in execution order,
+  min-max spread, all trials published; under-powered flag if the
+  budget expires first.
 
 Usage: python scripts/scaling_bench.py [n_docs] [max_pairs]
 Env:   SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_SCALE_BUDGET_S
-       (default 10800), SPARK_GRAFT_SCALE_CLEAN_PAIRS (default 4)
+       (default 10800), SPARK_GRAFT_SCALE_CLEAN_PAIRS (default 4),
+       SPARK_GRAFT_SCALE_TAG (artifact suffix, default r4v3),
+       SPARK_GRAFT_SCALE_PIN=0 to disable pinning (v2 behavior)
 """
 
 from __future__ import annotations
@@ -27,7 +40,7 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from hostwindow import drop_page_cache, wait_for_clean_window  # noqa: E402
+from hostwindow import drop_page_cache, fault_cost_us, wait_for_clean_window  # noqa: E402
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000")
@@ -38,30 +51,41 @@ MAX_PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 LEVEL_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 LEVEL_4N = 4 * LEVEL_N
 NOISE_THRESHOLD_PCT = 15.0
+FAULT_GATE_US = 20.0  # amendment v3: pre-trial host-memory probe gate
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "10800"))
 TARGET_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "4"))
+TAG_VER = os.environ.get("SPARK_GRAFT_SCALE_TAG", "r4v3")
+PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
 
 
 def run_at(cores: int) -> dict:
-    """Each run gets a fresh JVM (subprocess)."""
+    """Each run gets a fresh JVM (subprocess), pinned to `cores` CPUs."""
     drop_page_cache()
+    pre_fault = round(fault_cost_us(), 1)
     code = (
         "import sys, json; sys.path.insert(0, '/root/repo');\n"
         "import bench\n"
         f"r = bench.run(cores={cores}, n_docs={N_DOCS}, quiet=True)\n"
         "print('RESULT ' + json.dumps(r))\n"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=5400
-    )
+    env = dict(os.environ)
+    argv = [sys.executable, "-c", code]
+    if PIN:
+        # cpus 0-3 are left for host housekeeping so the pinned set is
+        # not sharing with kernel threads any more than a real node would
+        argv = ["taskset", "-c", f"4-{4 + cores - 1}"] + argv
+        env["SPARK_DRIVER_MEM"] = f"{cores}g"
+    out = subprocess.run(argv, capture_output=True, text=True, timeout=5400,
+                         env=env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            r["pre_fault_us"] = pre_fault
+            return r
     raise RuntimeError(f"bench at local[{cores}] failed:\n{out.stderr[-3000:]}")
 
 
 HOST_CPUS = os.cpu_count() or 32
-MIN_THREAD_UTIL_PCT = 75.0  # amendment v2: build-phase stall gate
 
 
 def noise_of(r: dict) -> float:
@@ -74,26 +98,26 @@ def noise_of(r: dict) -> float:
 def util_of(r: dict) -> float:
     """Build-phase utilization of the REQUESTED threads: /proc/stat user%
     is normalized over all host CPUs, so a healthy local[c] build shows
-    user ~= c/HOST_CPUS; below ~75% of that the threads sat in memory-
-    fault wait (the stall mode sys+steal cannot see)."""
+    user ~= c/HOST_CPUS. Reported per trial; NOT a gate (v3)."""
     b = r.get("build_cpu_mix", {})
     return round(b.get("user", 0.0) * HOST_CPUS / max(1, r["cores"]), 1)
 
 
 def is_clean(r: dict) -> bool:
     return (noise_of(r) <= NOISE_THRESHOLD_PCT
-            and util_of(r) >= MIN_THREAD_UTIL_PCT)
+            and r.get("pre_fault_us", 0.0) <= FAULT_GATE_US)
 
 
 def main() -> None:
     t0 = time.time()
-    # amendment v2: both levels ALWAYS build from the shared parquet
-    # corpus (bench.py SPARK_GRAFT_BENCH_CORPUS_PARQUET, cache_input=False)
-    # — identical input bytes for every trial, the input_hint's columnar
-    # shape, and a smaller guest footprint (the in-heap corpus persist
-    # pushed the guest toward the host's ~16 GiB fast-backing watermark)
+    # both levels ALWAYS build from the shared parquet corpus (bench.py
+    # SPARK_GRAFT_BENCH_CORPUS_PARQUET, cache_input=False) — identical
+    # input bytes for every trial, the input_hint's columnar shape
     os.environ.setdefault("SPARK_GRAFT_BENCH_CORPUS_PARQUET",
                           "/tmp/scaling_corpus")
+    commit = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
 
     pairs: list[dict] = []
     for t in range(MAX_PAIRS):
@@ -114,7 +138,8 @@ def main() -> None:
                       f"{r['build']['docs_per_sec']} docs/s, "
                       f"build {r['queries']['index_build']}s, "
                       f"query mean {r['query_mean_s']}s, "
-                      f"noise {noise_of(r)}%, util {util_of(r)}% "
+                      f"noise {noise_of(r)}%, util {util_of(r)}%, "
+                      f"pre-fault {r['pre_fault_us']}us "
                       f"({'clean' if is_clean(r) else 'DIRTY'})",
                       flush=True)
         except RuntimeError as exc:
@@ -155,7 +180,7 @@ def main() -> None:
                 f"| pair {p['idx']} ({p['order']}) local[{lvl}] | "
                 f"{r['build']['docs_per_sec']:,.1f} | "
                 f"{r['queries']['index_build']} | {r['query_mean_s']} | "
-                f"{noise_of(r)}% | {util_of(r)}% | "
+                f"{noise_of(r)}% | {util_of(r)}% | {r['pre_fault_us']}us | "
                 f"{'clean' if is_clean(r) else 'dirty'} |\n"
             )
     pair_rows = ""
@@ -169,16 +194,20 @@ def main() -> None:
             f"{p['eff_docs']:.3f} | {p['eff_postings']:.3f} | {inc} |\n"
         )
 
-    md = f"""# BENCH/SCALING (round 4, protocol v2) — pre-registered same-window pairs
+    md = f"""# BENCH/SCALING (round 4, protocol v3) — pinned CPUs, same-window pairs
 
-Protocol: BENCH/SCALING_PROTOCOL.md amendment v2 (committed before this
-run). Unit = interleaved same-window pair local[{LEVEL_N}]+
-local[{LEVEL_4N}] back-to-back on identical input ({N_DOCS:,} synthetic
-docs, seed 42, shared parquet corpus, cache_input=False), in-pair order
-alternating; trial clean iff build- and query-phase sys+steal <=
-{NOISE_THRESHOLD_PCT}% AND build thread utilization >=
-{MIN_THREAD_UTIL_PCT}%; headline = MEAN per-pair efficiency over the
-first {TARGET_CLEAN_PAIRS} clean pairs.
+Protocol: BENCH/SCALING_PROTOCOL.md amendment v3 (committed before this
+run). Engine commit: `{commit}`. Unit = interleaved same-window pair
+local[{LEVEL_N}]+local[{LEVEL_4N}] back-to-back on identical input
+({N_DOCS:,} synthetic docs, seed 42, shared parquet corpus,
+cache_input=False), in-pair order alternating; each trial's process
+tree pinned with `taskset` to exactly its core count
+(pinning={'on' if PIN else 'OFF'}) with SPARK_DRIVER_MEM = 1g/core;
+trial clean iff build- and query-phase sys+steal <=
+{NOISE_THRESHOLD_PCT}% AND pre-trial first-touch fault probe <=
+{FAULT_GATE_US} us/page (thread utilization reported, not gating);
+headline = MEAN per-pair efficiency over the first
+{TARGET_CLEAN_PAIRS} clean pairs.
 
 **Headline: mean eff = {mean_eff:.3f}** over {len(clean_pairs)} clean
 pairs (spread {min(effs, default=float('nan')):.3f}–{max(effs, default=float('nan')):.3f});
@@ -193,7 +222,7 @@ Per-pair efficiencies:
 {pair_rows}
 All trials (execution order):
 
-| run | docs/sec | build s | query mean s | max(build,query) sys+steal | build thread util | window |
+| run | docs/sec | build s | query mean s | max(build,query) sys+steal | build thread util | pre-fault | window |
 | --- | --- | --- | --- | --- | --- | --- | --- |
 {trial_rows}
 Raw JSON:
@@ -204,13 +233,15 @@ Raw JSON:
              'mean_eff_postings': None if not effs_p else round(mean_eff_p, 4),
              'n_clean_pairs': len(clean_pairs),
              'underpowered': underpowered,
+             'engine_commit': commit,
+             'pinned': PIN,
              'trials': {f"pair{p['idx']}": {'N': p['trialN'], '4N': p['trial4N']} for p in pairs}},
             indent=2)}
 ```
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     tag = f"{N_DOCS // 1000}k" if N_DOCS < 1_000_000 else f"{N_DOCS // 1_000_000}M"
-    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}_r4v2.md"
+    out_md = f"/root/repo/BENCH/SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}_{TAG_VER}.md"
     with open(out_md, "w") as fh:
         fh.write(md)
     print(f"mean eff(docs/sec) = {mean_eff:.3f} over {len(clean_pairs)} clean "
