@@ -60,8 +60,26 @@ def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _clear_data_files(path: str) -> None:
+    """Remove non-underscore data files — Spark ``mode('overwrite')``
+    semantics for driver-side writes. Rebuild-in-place over an index
+    written by an earlier build (or the old Spark write path, whose
+    part files carry a uuid) must not leave stale rows beside the new
+    file: index_io.read_stats takes ``.first()`` over the directory, so
+    a stale stats row would silently corrupt BM25 (wrong n_docs/avgdl).
+    """
+    if not os.path.isdir(path):
+        return
+    for f in os.listdir(path):
+        if not f.startswith(("_", ".")):
+            try:
+                os.remove(os.path.join(path, f))
+            except IsADirectoryError:
+                pass
+
+
 def _driver_write_rows(path: str, filename: str, columns: dict,
-                       schema: "pa.Schema") -> None:
+                       schema: "pa.Schema", overwrite: bool = False) -> None:
     """Write a handful of rows as one parquet file from the driver.
 
     The 1-row stats table and the per-group manifest rows used to go
@@ -69,11 +87,18 @@ def _driver_write_rows(path: str, filename: str, columns: dict,
     launch (scheduler round-trip + task) per call, pure serial time in
     the build's critical path. pyarrow writes the identical bytes with
     no cluster interaction; Spark reads the directory exactly as before.
+
+    ``overwrite=True`` reproduces ``mode('overwrite')``: pre-existing
+    data files are removed first (the stats table is one logical row —
+    appends would leave the reader a coin-flip). Manifest rows keep the
+    append shape: each file is a distinct (group, attempt) record.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    if overwrite:
+        _clear_data_files(path)
     tbl = pa.table(columns, schema=schema)
     pq.write_table(tbl, os.path.join(path, filename))
     with open(os.path.join(path, "_SUCCESS"), "w"):
@@ -163,6 +188,13 @@ def build_index(
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
 
+    ``out`` must be a driver-local POSIX path: the resume bookkeeping
+    (build_conf.json, manifest rows, stats) is written/read driver-side
+    with os/pyarrow for zero job launches in the critical path. The bulk
+    data writes go through Spark and would accept any Hadoop FS, but an
+    hdfs://|s3a:// index root breaks the bookkeeping — to support one,
+    route the driver-side I/O through pyarrow.fs/fsspec.
+
     shard_size=None selects partition-as-shard FAST MODE: dense docID
     assignment leaves each range partition holding a contiguous doc_id
     interval, the partition index becomes the index shard, and the
@@ -226,6 +258,17 @@ def build_index(
 
     _write_conf()
     fast_mode = shard_size is None
+    if not resume:
+        # a resume=False build is declared FRESH: stale manifest rows
+        # (which would inflate the final metrics and mark groups "done"
+        # for a LATER resume) and stale postings group dirs (group=g for
+        # g >= the new n_groups would leak into the basePath read) from
+        # any prior build in the same out dir are cleared up front —
+        # overwrite semantics at build granularity.
+        _clear_data_files(manifest_path)
+        import shutil as _shutil
+
+        _shutil.rmtree(table_path(out, POSTINGS_DIR), ignore_errors=True)
     # fast-mode resume: partition boundaries from a fresh session need not
     # match the first run's, so shards must come from the RECORDED bounds
     use_recorded_bounds = fast_mode and resuming and bool(shard_bounds)
@@ -349,6 +392,7 @@ def build_index(
              "total_tokens": [int(o["total_tokens"] or 0)]},
             pa.schema([("n_docs", pa.int64()), ("avgdl", pa.float64()),
                        ("total_tokens", pa.int64())]),
+            overwrite=True,
         )
         # the docs write materialized the tokenized cache: everything
         # downstream reads THAT cache, so the upstream corpus/ranged
@@ -380,6 +424,22 @@ def build_index(
     shards_per_group = math.ceil(n_shards / n_groups)
     done = _completed_groups(spark, manifest_path) if resume else set()
     attempts = _attempt_counts(spark, manifest_path)
+    if (fast_mode and resuming and not shard_bounds
+            and done and len(done) < n_groups):
+        # (a COMPLETE resume=False index re-opened with resume=True has
+        # no groups left to build — that no-op rerun stays legal)
+        # completed manifest groups but NO recorded shard bounds can only
+        # mean the prior run was resume=False fast mode (a resume=True
+        # fast-mode run records bounds BEFORE its first group job):
+        # finishing the remaining groups with THIS session's range-sampled
+        # partition boundaries would silently split docs differently —
+        # docs missing from or duplicated across shards. Refuse loudly.
+        raise RuntimeError(
+            f"index at {out!r} has {len(done)} completed shard group(s) "
+            "but no recorded shard bounds: it was built with resume=False "
+            "(not resumable) and crashed. Rerun with resume=False to "
+            "rebuild from scratch."
+        )
 
     # per-doc source with a shard column; the explode happens INSIDE each
     # group job AFTER the shard filter, so across all groups every doc is
@@ -531,6 +591,12 @@ def build_index(
     # --- build metrics (north_rule: postings/sec, bytes compressed, skew) ----
     man_pdf = _read_manifest_driver(manifest_path)
     ok = man_pdf[man_pdf["status"] == "ok"]
+    # one row per group — the LATEST attempt: a resumed build appends a
+    # fresh attempt row for each group it redoes, and each group's data
+    # was written mode('overwrite'), so only the newest row describes
+    # bytes actually on disk. Summing every ok row double-counted redone
+    # groups.
+    ok = ok.sort_values("attempt").groupby("group", as_index=False).tail(1)
     metrics["n_postings"] = int(ok["n_postings"].sum())
     metrics["bytes_out"] = int(ok["bytes_out"].sum())
     metrics["n_shards"] = n_shards

@@ -58,27 +58,39 @@ class _DriverLexicon:
     """Driver-side (term -> df) probe over two parallel sorted arrays.
 
     ``terms`` is a term-sorted pyarrow string array (UTF-8 byte order ==
-    Python str code-point order, so binary search with as_py comparisons
-    is exact); ``dfs`` the matching int64 numpy array. O(log n) string
-    materializations per probe, ~(avg_term_len + 12) bytes per entry.
+    Python str code-point order, so bytewise binary search is exact);
+    ``dfs`` the matching int64 numpy array. The probe binary-searches the
+    raw Arrow offsets/data buffers through numpy views — zero pyarrow
+    scalar (.as_py) materializations, just one small bytes slice per
+    comparison. ~(avg_term_len + 12) bytes per entry.
     """
 
-    __slots__ = ("terms", "dfs", "nbytes")
+    __slots__ = ("terms", "dfs", "nbytes", "_offsets", "_data")
 
     def __init__(self, terms, dfs, nbytes: int) -> None:
+        import pyarrow as pa
+
         self.terms = terms
         self.dfs = dfs
         self.nbytes = nbytes
+        odt = np.int64 if pa.types.is_large_string(terms.type) else np.int32
+        bufs = terms.buffers()
+        off0 = terms.offset  # slices share buffers at an element offset
+        self._offsets = np.frombuffer(bufs[1], dtype=odt)[
+            off0:off0 + len(terms) + 1]
+        self._data = np.frombuffer(bufs[2], dtype=np.uint8)
 
     def get(self, term: str) -> int | None:
+        tb = term.encode("utf-8")
+        off, data = self._offsets, self._data
         lo, hi = 0, len(self.terms)
         while lo < hi:
             mid = (lo + hi) // 2
-            if self.terms[mid].as_py() < term:
+            if data[off[mid]:off[mid + 1]].tobytes() < tb:
                 lo = mid + 1
             else:
                 hi = mid
-        if lo < len(self.terms) and self.terms[lo].as_py() == term:
+        if lo < len(self.terms) and data[off[lo]:off[lo + 1]].tobytes() == tb:
             return int(self.dfs[lo])
         return None
 

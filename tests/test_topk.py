@@ -95,3 +95,35 @@ def test_lexicon_probe_paths_agree(spark, index_root, searcher):
         assert _rows(dist.search(q, "pruned", decorate=False)) == _rows(
             searcher.search(q, "pruned", decorate=False)
         )
+
+
+def test_driver_lexicon_buffer_probe_unit():
+    """_DriverLexicon binary-searches the raw Arrow offsets/data buffers
+    (no per-comparison scalar materialization): exact on ascii + utf-8
+    multi-byte terms, sliced arrays, and OOV probes landing before,
+    between, and after every entry."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nyu_search_engine_spark.plans.search_index import _DriverLexicon
+
+    terms = ["aa", "ab", "abc", "b", "naïve", "zeta", "ζeta"]
+    dfs_v = [1, 2, 3, 4, 5, 6, 7]
+    # arrival order shuffled, then sorted exactly like IndexSearcher does
+    tbl = pa.table({"term": terms[::-1], "df": dfs_v[::-1]})
+    order = pc.sort_indices(tbl["term"])
+    ts = tbl["term"].take(order).combine_chunks()
+    ds = tbl["df"].take(order).combine_chunks().to_numpy()
+    lex = _DriverLexicon(ts, ds, ts.nbytes + ds.nbytes)
+    got = {t: lex.get(t) for t in terms}
+    assert got == dict(zip(terms, dfs_v))
+    for oov in ("", "a", "aaa", "abd", "c", "zz", "ζζ", "\U0010ffff"):
+        assert lex.get(oov) is None
+    # a sliced array shares buffers at a nonzero element offset — the
+    # probe must honor .offset
+    sliced = ts.slice(2)
+    lex2 = _DriverLexicon(sliced, ds[2:], 0)
+    srt = sorted(terms)
+    assert {t: lex2.get(t) for t in srt[2:]} == {
+        t: dict(zip(terms, dfs_v))[t] for t in srt[2:]}
+    assert lex2.get(srt[0]) is None
