@@ -70,7 +70,15 @@ def fixture_queries():
 
 
 def big_query_set(n: int = N_BATCH_QUERIES):
-    """Deterministic mixed workload over the synth vocabulary (seed 7)."""
+    """Deterministic mixed workload over the synth vocabulary (seed 7).
+
+    Query lines are built from raw vocab entries, then go through
+    Query.parse — the corpus tokenizer — exactly like a user query
+    would. (Before r5 the raw entries were used as terms directly;
+    compound identifiers like ``def_return_42`` never match the
+    tokenized lexicon, so the workload's in-lexicon term union was
+    only ~51 terms. Post-fix the 2048-query union is ~1.4k terms —
+    batch numbers are NOT comparable across this change.)"""
     import numpy as np
 
     from nyu_search_engine_spark.plans.search import Query
@@ -93,7 +101,7 @@ def big_query_set(n: int = N_BATCH_QUERIES):
         else:              # rare + common mix (AND arms often empty — fine)
             terms = [RARE_TERMS[i % len(RARE_TERMS)], *rng.choice(
                 core[:500], nt - 1, replace=False)]
-        qs.append(Query(tuple(str(t) for t in terms), mode, 10))
+        qs.append(Query.parse(" ".join(str(t) for t in terms), mode, 10))
     return qs
 
 
