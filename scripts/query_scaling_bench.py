@@ -208,6 +208,9 @@ def main() -> None:
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     max_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    # optional artifact suffix (e.g. "r5") so a re-run under a changed
+    # workload does not overwrite the prior artifact + its erratum
+    suffix = f"_{sys.argv[3]}" if len(sys.argv) > 3 else ""
     t0 = time.time()
     index_root = tempfile.mkdtemp(prefix="qscale_idx_")
     try:
@@ -317,7 +320,8 @@ Raw JSON (best trials):
              'both_levels_clean': bool(cN and c4)}, indent=2)}
 ```
 """
-        out_md = f"/root/repo/BENCH/QUERY_SCALING_{LEVEL_N}_to_{LEVEL_4N}_{tag}.md"
+        out_md = (f"/root/repo/BENCH/QUERY_SCALING_{LEVEL_N}_to_"
+                  f"{LEVEL_4N}_{tag}{suffix}.md")
         with open(out_md, "w") as fh:
             fh.write(md)
         print(f"qps eff = {eff:.3f}; both_clean = {bool(cN and c4)}; "
