@@ -254,7 +254,7 @@ class IndexSearcher:
         self,
         queries: dict[int, Query] | list[tuple[int, Query]],
         decorate: bool = False,
-        max_terms_per_chunk: int | None = None,
+        max_terms_per_chunk: int | str | None = None,
     ) -> DataFrame:
         """Answer MANY queries in ONE postings scan -> (query_id, rank,
         doc_id, score).
@@ -275,6 +275,14 @@ class IndexSearcher:
         set bounded at the cost of more jobs. Per-query results are
         identical either way (chunks partition the QUERIES, never one
         query's terms).
+
+        ``"auto"`` resolves the bound from the batch itself:
+        ``max(512, union_size // 3)`` — the measured sweet spot of the
+        U-curve in BENCH/BATCH_CHUNKING_500k.md (512-term chunks ran
+        1.21x over one scan at a 1,349-term union; any bound >= ~1/4 of
+        the union measured within 7% of the best, while over-fine
+        chunking lost to per-chunk job floors). A batch whose union is
+        already <= 512 terms stays one scan.
         """
         items = list(queries.items()) if isinstance(queries, dict) else list(queries)
         all_terms = sorted({t for _, q in items for t in q.terms})
@@ -294,6 +302,9 @@ class IndexSearcher:
             )
         if not qplans:
             return self._empty_batch(decorate)
+        if max_terms_per_chunk == "auto":
+            union = len({t for _, _, tl in qplans.values() for t, _ in tl})
+            max_terms_per_chunk = max(512, union // 3)
         chunks = self._chunk_qplans(qplans, max_terms_per_chunk)
         parts = [self._batch_topk(ch) for ch in chunks]
         topk = parts[0]

@@ -84,7 +84,11 @@ def cmd_search_batch(args) -> None:
     batch = {
         i: Query.parse(ln, mode=args.mode, k=args.k) for i, ln in enumerate(lines)
     }
-    res = searcher.search_batch(batch, decorate=args.decorate)
+    mtpc = getattr(args, "max_terms_per_chunk", None)
+    if mtpc and mtpc != "auto":
+        mtpc = int(mtpc)
+    res = searcher.search_batch(batch, decorate=args.decorate,
+                                max_terms_per_chunk=mtpc or None)
     order = ["query_id", "rank"]
     for r in res.orderBy(*order).collect():
         print(json.dumps(r.asDict(), default=str))
@@ -129,6 +133,10 @@ def main() -> None:
     sb.add_argument("--k", type=int, default=10)
     sb.add_argument("--decorate", action="store_true",
                     help="join (repo, path, commit) from the doc table")
+    sb.add_argument("--max-terms-per-chunk", default=None,
+                    help="bound distinct terms per scan chunk: an int, "
+                         "or 'auto' (measured sweet spot, see "
+                         "BENCH/BATCH_CHUNKING_500k.md)")
     sb.set_defaults(fn=cmd_search_batch)
 
     bs = sub.add_parser("bench-synth")

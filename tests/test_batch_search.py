@@ -95,3 +95,34 @@ def test_and_bounds_off_rank_identical(searcher):
         off = searcher.search(q, "pruned", decorate=False,
                               and_bounds=False).collect()
         assert [tuple(r) for r in on] == [tuple(r) for r in off]
+
+
+def test_batch_auto_chunk_equals_unchunked(searcher):
+    """max_terms_per_chunk="auto" resolves a bound from the batch's own
+    term union (max(512, union // 3) — the measured sweet spot in
+    BENCH/BATCH_CHUNKING_500k.md) and must return identical per-query
+    results. At this fixture's tiny union the auto bound exceeds the
+    union, so it must also degenerate to exactly ONE chunk."""
+    base = {qid: sorted(
+        (r["rank"], r["doc_id"], r["score"])
+        for r in searcher.search_batch(BATCH).collect()
+        if r["query_id"] == qid
+    ) for qid in BATCH}
+    got = {qid: [] for qid in BATCH}
+    for r in searcher.search_batch(
+            BATCH, max_terms_per_chunk="auto").collect():
+        got[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        assert sorted(got[qid]) == base[qid], qid
+
+    # resolution rule itself (no Spark needed)
+    from nyu_search_engine_spark.plans.search_index import IndexSearcher
+    qplans = {i: ("OR", 10, [(f"t{j}", 1.0) for j in range(i, i + 4)])
+              for i in range(2000)}
+    union = len({t for _, _, tl in qplans.values() for t, _ in tl})
+    bound = max(512, union // 3)
+    chunks = IndexSearcher._chunk_qplans(qplans, bound)
+    assert len(chunks) > 1  # a big union genuinely engages chunking
+    for ch in chunks:
+        terms = {t for _, _, tl in ch.values() for t, _ in tl}
+        assert len(terms) <= bound or len(ch) == 1

@@ -22,7 +22,8 @@ def test_search_batch_cli_matches_single(spark, index_root, searcher,
     qfile.write_text("\n".join(lines) + "\n")
 
     args = argparse.Namespace(
-        index=index_root, queries=str(qfile), mode="OR", k=5, decorate=False
+        index=index_root, queries=str(qfile), mode="OR", k=5, decorate=False,
+        max_terms_per_chunk="auto",  # exercises the CLI auto-chunk path
     )
     submit_job.cmd_search_batch(args)
     got = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
