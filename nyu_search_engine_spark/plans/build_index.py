@@ -175,6 +175,82 @@ class _PhaseClock:
         self.phases[name] = rec
 
 
+# Bytes-per-partition targets for the docID assignment shuffle (which
+# fixes the partitioning of every downstream cached intermediate and, in
+# fast mode, the index shard layout). INPUT (on-disk, compressed) bytes
+# are the sizing proxy; in-memory cached blocks run ~2-3x that.
+ASSIGN_PARTITION_TARGET_MAX_BYTES = 64 << 20  # maxPartitionBytes-style cap
+ASSIGN_PARTITION_HEAP_DIVISOR = 64  # target also <= executor_heap/64
+
+
+def _parse_mem_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] == "b":
+        s = s[:-1]
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _auto_p_assign(spark: SparkSession, corpus: DataFrame,
+                   shuffle_p: int) -> int:
+    """Partition count for the docID range shuffle: bound BYTES per
+    partition, don't inherit a config constant blindly.
+
+    Why: the assignment partitioning is inherited by the ranged/tokenized
+    caches, and Spark re-promotes a disk-spilled serialized cached block
+    with ONE ByteBuffer allocation of the whole block
+    (``BlockManager.maybeCacheDiskBytesInMemory``) — so per-block bytes
+    must stay small relative to the executor heap or a small-memory
+    executor dies on allocation instead of streaming from disk. Measured:
+    the 1M-doc corpus (1.8 GB parquet) at the fixed p=32 (~56 MB
+    input/partition) OOMed 3 of 4 local[2]/2g builds while 500k at the
+    same p was only intermittently fatal
+    (BENCH/SCALING_2_to_8_1M_r5v3.md appendix — fix direction registered
+    there before this change).
+
+    Rule: target ``min(64 MB, executor_heap/64)`` input bytes per
+    partition, floored at ``spark.sql.shuffle.partitions``. The corpus
+    size comes from the scan's file sizes (zero Spark jobs); in-memory /
+    non-local-file corpora keep the configured parallelism (their size is
+    unknowable without a job — the caller controls those cases). At the
+    100 TB target the count then scales with data (≈ bytes/64 MB ranges)
+    instead of a session constant, matching maxPartitionBytes-style scan
+    sizing on a real cluster.
+    """
+    try:
+        files = corpus.inputFiles()
+    except Exception:
+        return shuffle_p
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):  # file:///p -> /p
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:  # remote FS: sizing needs a FS call; keep configured p
+            return shuffle_p
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return shuffle_p
+    if total <= 0:
+        return shuffle_p
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        heap = int(spark.sparkContext._jvm.java.lang.Runtime
+                   .getRuntime().maxMemory())
+    else:
+        heap = _parse_mem_bytes(
+            spark.conf.get("spark.executor.memory", "1g"))
+    target = min(ASSIGN_PARTITION_TARGET_MAX_BYTES,
+                 max(1, heap // ASSIGN_PARTITION_HEAP_DIVISOR))
+    return max(shuffle_p, math.ceil(total / target))
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -239,7 +315,7 @@ def build_index(
     # pin layout decisions across resume runs even if the session conf
     # changed: the first run writes build_conf.json
     conf_path = os.path.join(out, "build_conf.json")
-    p_assign = shuffle_p
+    p_assign = _auto_p_assign(spark, corpus, shuffle_p)
     shard_bounds: list[list[int]] | None = None  # [[shard, max_doc_id]...]
     resuming = resume and os.path.exists(conf_path)
     if resuming:
