@@ -69,6 +69,7 @@ def assign_doc_ids_full(
     sort_keys: tuple[str, ...] = DOC_SORT_KEYS,
     num_partitions: int | None = None,
     keep_pid_col: str | None = None,
+    storage_level=None,
 ) -> DocIdAssignment:
     """Add a dense ``doc_id`` column: 0..N-1 by ascending sort_keys.
 
@@ -86,7 +87,12 @@ def assign_doc_ids_full(
         .sortWithinPartitions(*sort_keys)
         .withColumn("_pid", F.spark_partition_id())
     )
-    ranged.persist()
+    # storage_level lets the caller make the fits-in-memory decision
+    # (build_index estimates it from the corpus input bytes); the cache
+    # holds the full content column, so an over-memory corpus should go
+    # straight to disk instead of eviction/re-promotion churn
+    ranged.persist(storage_level) if storage_level is not None \
+        else ranged.persist()
     try:
         counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
         offsets: dict[int, int] = {}

@@ -193,6 +193,77 @@ def _parse_mem_bytes(s: str) -> int:
     return int(s)
 
 
+def _corpus_input_bytes(corpus: DataFrame) -> int | None:
+    """Total on-disk bytes of the corpus scan's files (zero Spark jobs),
+    or None when unknowable driver-side (in-memory frame, remote FS)."""
+    try:
+        files = corpus.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):  # file:///p -> /p
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:  # remote FS: sizing needs a FS call
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total if total > 0 else None
+
+
+def _executor_heap_bytes(spark: SparkSession) -> int:
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        return int(spark.sparkContext._jvm.java.lang.Runtime
+                   .getRuntime().maxMemory())
+    return _parse_mem_bytes(spark.conf.get("spark.executor.memory", "1g"))
+
+
+# In-memory bytes per on-disk (snappy parquet) input byte for the build's
+# cached intermediates — deserialized code-text rows and tokenized
+# term/tf arrays both land in the 2-4x range; 3 is the sizing midpoint.
+CACHE_INMEM_FACTOR = 3
+# Cache to memory only when the whole intermediate plausibly fits in this
+# fraction of the cluster storage pool; beyond it, MEMORY_AND_DISK is
+# pure churn (evictions while writing, whole-block ByteBuffer
+# re-promotions while reading — the measured 2g OOM site) and DISK_ONLY
+# (write once, stream once) is strictly cheaper.
+CACHE_FIT_FRACTION = 0.6
+
+
+def _cache_level(spark: SparkSession, input_bytes: int | None):
+    """MEMORY_AND_DISK when the estimated intermediate fits the storage
+    pool, DISK_ONLY when it cannot — the executor-memory-aware choice
+    Spark does not make by itself. Unknown size keeps MEMORY_AND_DISK
+    (status quo; the caller controls in-memory corpora).
+
+    The pool estimate is per-executor unified storage
+    (``0.6 x (heap - 300MB)``) times the executor count (1 in local
+    mode; ``spark.executor.instances`` else, defaulting to 1 —
+    conservative: under-estimating the pool only ever picks DISK_ONLY,
+    which degrades gracefully)."""
+    from pyspark import StorageLevel
+
+    if input_bytes is None:
+        return StorageLevel.MEMORY_AND_DISK
+    heap = _executor_heap_bytes(spark)
+    pool = 0.6 * max(0, heap - (300 << 20))
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        pool *= max(1, int(spark.conf.get("spark.executor.instances", "1")))
+    if input_bytes * CACHE_INMEM_FACTOR <= CACHE_FIT_FRACTION * pool:
+        return StorageLevel.MEMORY_AND_DISK
+    return StorageLevel.DISK_ONLY
+
+
 def _auto_p_assign(spark: SparkSession, corpus: DataFrame,
                    shuffle_p: int) -> int:
     """Partition count for the docID range shuffle: bound BYTES per
@@ -219,33 +290,10 @@ def _auto_p_assign(spark: SparkSession, corpus: DataFrame,
     instead of a session constant, matching maxPartitionBytes-style scan
     sizing on a real cluster.
     """
-    try:
-        files = corpus.inputFiles()
-    except Exception:
+    total = _corpus_input_bytes(corpus)
+    if total is None:
         return shuffle_p
-    total = 0
-    for uri in files:
-        if uri.startswith("file:"):
-            path = uri[5:]
-            while path.startswith("//"):  # file:///p -> /p
-                path = path[1:]
-        elif uri.startswith("/"):
-            path = uri
-        else:  # remote FS: sizing needs a FS call; keep configured p
-            return shuffle_p
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return shuffle_p
-    if total <= 0:
-        return shuffle_p
-    master = spark.sparkContext.master or ""
-    if master.startswith("local"):
-        heap = int(spark.sparkContext._jvm.java.lang.Runtime
-                   .getRuntime().maxMemory())
-    else:
-        heap = _parse_mem_bytes(
-            spark.conf.get("spark.executor.memory", "1g"))
+    heap = _executor_heap_bytes(spark)
     target = min(ASSIGN_PARTITION_TARGET_MAX_BYTES,
                  max(1, heap // ASSIGN_PARTITION_HEAP_DIVISOR))
     return max(shuffle_p, math.ceil(total / target))
@@ -307,9 +355,11 @@ def build_index(
     # (parquet/Iceberg — the 100 TB shape) pass cache_input=False: two
     # column-pruned scans are cheaper than holding the content column on
     # the executor heaps.
-    corpus_cached = (
-        corpus.persist(StorageLevel.MEMORY_AND_DISK) if cache_input else corpus
-    )
+    # one storage-level decision governs every cached intermediate of
+    # this build: memory-backed only if the estimate fits the pool
+    cache_lvl = _cache_level(spark, _corpus_input_bytes(corpus))
+    metrics["cache_level"] = str(cache_lvl)
+    corpus_cached = corpus.persist(cache_lvl) if cache_input else corpus
 
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # pin layout decisions across resume runs even if the session conf
@@ -357,7 +407,8 @@ def build_index(
     # per-partition ExternalSorter.
     tk = clock.start()
     assignment = assign_doc_ids_full(corpus_cached, num_partitions=p_assign,
-                                     keep_pid_col="shard" if fast_mode else None)
+                                     keep_pid_col="shard" if fast_mode else None,
+                                     storage_level=cache_lvl)
     clock.stop("assign", tk)  # range shuffle + cache + prefix-sum collect
     assigned = assignment.df
     ranged_cache = assignment.ranged_cache
@@ -396,7 +447,7 @@ def build_index(
                 ).alias("tokens"),
             )
             .withColumn("doclen", F.size("tokens"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(cache_lvl)
         )
     else:
         # Fused tokenize+tf: one row per (doc, term) into the sort instead
@@ -422,7 +473,7 @@ def build_index(
                     F.sha2(F.col("content"), 256).alias("sha256"),
                     F.inline(F.array(tk_expr)),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .persist(cache_lvl)
             )
         else:
             tokenized = (
@@ -440,7 +491,7 @@ def build_index(
                     F.col("tk.tfs").alias("tfs"),
                     F.col("tk.doclen").alias("doclen"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .persist(cache_lvl)
             )
     t_docs = time.time()
     tk = clock.start()

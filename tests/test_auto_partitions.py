@@ -85,3 +85,26 @@ def test_build_records_auto_p_in_conf(spark, corpus, tmp_path, monkeypatch):
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert conf["p_assign"] > shuffle_p
     assert metrics["n_shards"] == conf["p_assign"]
+
+
+def test_cache_level_unknown_size_keeps_memory(spark, corpus):
+    from pyspark import StorageLevel
+    assert bi._cache_level(spark, None) == StorageLevel.MEMORY_AND_DISK
+
+
+def test_cache_level_small_corpus_memory_backed(spark):
+    from pyspark import StorageLevel
+    # a few MB against a multi-GB test heap: fits
+    assert bi._cache_level(spark, 4 << 20) == StorageLevel.MEMORY_AND_DISK
+
+
+def test_cache_level_oversized_corpus_disk_only(spark):
+    from pyspark import StorageLevel
+    # 1 TB of input cannot fit any single-box pool
+    assert bi._cache_level(spark, 1 << 40) == StorageLevel.DISK_ONLY
+
+
+def test_build_metrics_record_cache_level(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx_lvl")
+    m = bi.build_index(spark, corpus, out, n_groups=1, resume=False)
+    assert "cache_level" in m
