@@ -43,6 +43,15 @@ def get_spark(
         # heap measured 17 GiB total RSS — still over). On a real
         # cluster, size executors to physical memory as usual.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # lz4 for serialized cached blocks (DISK_ONLY intermediates).
+        # Hypothesis was that compressing the build's DISK_ONLY caches
+        # trades fixed disk I/O for CPU (which scales); the interleaved
+        # 1M-doc A/B (BENCH/CACHE_COMPRESS_AB_1M.md) measured ON/OFF =
+        # 0.989 — a wash, below the pre-registered >=1.03 flip
+        # threshold — so the default stays Spark's own (false). The env
+        # knob remains for box-specific tuning where disk is slower.
+        .config("spark.rdd.compress",
+                os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
