@@ -15,9 +15,11 @@ Spark-first lifecycle:
      -> hash agg with a deterministic rarest-first fold -> TakeOrdered(k).
  3b. pruned path: groupBy(shard).applyInPandas(DAAT/BMW kernel) -> per-
      shard top-k -> global TakeOrdered(k) over n_shards*k candidate rows.
- 4. decorate: broadcast the tiny top-k against the (potentially 10^12-row)
-    docs table — BroadcastHashJoin with the SMALL side broadcast, so the
-    big side streams with doc_id min/max row-group skipping.
+ 4. decorate: collect the bounded top-k (<= n_queries*k rows — the same
+    rows a broadcast would ship anyway), push its doc_id set into the
+    docs Parquet scan as an IN filter (doc_id-range-ordered files =>
+    row-group min/max skipping: a point lookup over a potentially
+    10^12-row table), then BroadcastHashJoin the recreated top-k.
 
 Paths 3a and 3b are rank-identical by construction (pytest-enforced).
 """
@@ -52,6 +54,11 @@ LEXICON_DRIVER_CACHE_MAX_TERMS = 4_000_000
 # measured Arrow buffer size is the truth): above this the cache is
 # dropped and the distributed probe is used
 LEXICON_DRIVER_CACHE_MAX_BYTES = 256 * 1024 * 1024
+# Max distinct doc_ids inlined as a Parquet IN pushdown by the decorate
+# lookup (_lookup_join); larger candidate sets keep only the broadcast
+# join — a huge literal IN list bloats the plan and stops paying for
+# itself in row-group skipping.
+DECORATE_PUSHDOWN_MAX_IDS = 4096
 
 
 class _DriverLexicon:
@@ -411,16 +418,52 @@ class IndexSearcher:
         )
 
     def _decorate(self, topk: DataFrame) -> DataFrame:
-        joined = self.docs.join(F.broadcast(topk), "doc_id")
-        return joined.select(
-            "rank", "doc_id", "score", "repo", "path", "commit"
-        ).orderBy("rank")
+        return self._lookup_join(
+            topk,
+            ["rank", "doc_id", "score", "repo", "path", "commit"],
+            ["rank"],
+            self._empty(True),
+        )
 
     def _decorate_batch(self, topk: DataFrame) -> DataFrame:
-        joined = self.docs.join(F.broadcast(topk), "doc_id")
-        return joined.select(
-            "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
-        ).orderBy("query_id", "rank")
+        return self._lookup_join(
+            topk,
+            ["query_id", "rank", "doc_id", "score", "repo", "path", "commit"],
+            ["query_id", "rank"],
+            self._empty_batch(True),
+        )
+
+    def _lookup_join(self, topk: DataFrame, cols: list[str],
+                     order: list[str], empty: DataFrame) -> DataFrame:
+        """Decorate top-k rows with the doc table (J3) as a PRUNED lookup.
+
+        The top-k side is bounded at n_queries*k rows — the same rows a
+        plain ``broadcast(topk)`` would collect to the driver anyway. We
+        collect them explicitly instead, so that (a) the kernel subplan
+        executes exactly once (the old lazy broadcast re-ran it for the
+        big-side stream), and (b) the doc_id set can be pushed INTO the
+        docs Parquet scan as an IN filter. ``build_index`` writes the doc
+        table in doc_id-range order (the range-partitioned assignment is
+        the write partitioning), so row-group min/max stats skip all but
+        the hit groups — a point lookup, not a table scan. OSS Spark's
+        BroadcastHashJoin has no runtime row-group pruning: the lazy form
+        streamed the ENTIRE (potentially 10^12-row) docs table for a
+        10-row decorate. Above DECORATE_PUSHDOWN_MAX_IDS distinct ids
+        (giant batches) the IN list stops helping row-group stats and
+        bloats the plan, so the filter is dropped and only the
+        recreated-broadcast join remains. Note: decoration therefore
+        executes the query eagerly at plan-build time.
+        """
+        rows = topk.collect()
+        if not rows:
+            return empty
+        small = self.spark.createDataFrame(rows, topk.schema)
+        big = self.docs
+        ids = sorted({r["doc_id"] for r in rows})
+        if len(ids) <= DECORATE_PUSHDOWN_MAX_IDS:
+            big = big.filter(F.col("doc_id").isin(ids))
+        joined = big.join(F.broadcast(small), "doc_id")
+        return joined.select(*cols).orderBy(*order)
 
     def _empty(self, decorate: bool) -> DataFrame:
         schema = (

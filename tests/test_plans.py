@@ -28,6 +28,29 @@ def test_decorate_is_broadcast_hash_join(searcher):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decorate_pushes_doc_id_lookup_into_docs_scan(searcher):
+    """The decorate is a point LOOKUP: the top-k doc_id set must reach the
+    docs Parquet scan as an IN pushdown (row-group skipping), not stream
+    the whole doc table through the join."""
+    df = searcher.search(Query(("rareterm00",), "AND"), "pruned", decorate=True)
+    plan = _plan(df)
+    assert "In(doc_id" in plan, plan
+
+
+def test_decorate_pushdown_skipped_above_id_cap(searcher, monkeypatch):
+    """Above DECORATE_PUSHDOWN_MAX_IDS distinct ids the literal IN list is
+    dropped (plan bloat) and only the broadcast join remains."""
+    from nyu_search_engine_spark.plans import search_index as si
+
+    monkeypatch.setattr(si, "DECORATE_PUSHDOWN_MAX_IDS", 2)
+    df = searcher.search(Query(("hotterm0",), "OR", 10), "pruned",
+                         decorate=True)
+    plan = _plan(df)
+    assert "In(doc_id" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert df.count() == 10
+
+
 def test_bruteforce_uses_arrow_udf_and_takeordered(corpus):
     df = bruteforce_topk(corpus, Query(("rareterm00", "hotterm0"), "OR"))
     plan = _plan(df)
