@@ -289,7 +289,20 @@ def _auto_p_assign(spark: SparkSession, corpus: DataFrame,
     100 TB target the count then scales with data (≈ bytes/64 MB ranges)
     instead of a session constant, matching maxPartitionBytes-style scan
     sizing on a real cluster.
+
+    ``SPARK_GRAFT_ASSIGN_PARTITIONS`` overrides the whole rule with an
+    explicit count. Two uses: an operator who knows the corpus, and
+    measurement WORK PARITY in the scaling proxy — the heap term makes
+    the auto count depend on executor memory, and the scaling protocol
+    scales heap with the core count (1 g/core), so the two cluster-size
+    levels otherwise build different partition/shard counts (58 vs 32 at
+    1M docs, BENCH/SCALING_2_to_8_1M_r5postfix.md) and the pair compares
+    non-identical work. On a real cluster per-executor heap is fixed and
+    the auto count is already cluster-size-independent.
     """
+    override = os.environ.get("SPARK_GRAFT_ASSIGN_PARTITIONS")
+    if override:
+        return max(1, int(override))
     total = _corpus_input_bytes(corpus)
     if total is None:
         return shuffle_p

@@ -60,6 +60,18 @@ def test_heap_divisor_caps_target(spark, corpus, tmp_path, monkeypatch):
     assert got > 2  # target clamps to >= 1 byte/partition floor rule
 
 
+def test_env_override_wins_over_rule(spark, corpus, tmp_path, monkeypatch):
+    """SPARK_GRAFT_ASSIGN_PARTITIONS replaces the auto rule entirely —
+    the scaling proxy's work-parity knob (both levels must build the
+    same partition/shard count to compare identical work)."""
+    path = str(tmp_path / "corpus_pq_ovr")
+    corpus.write.parquet(path)
+    df = spark.read.parquet(path)
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_PARTITIONS", "58")
+    assert bi._auto_p_assign(spark, df, 8) == 58
+    assert bi._auto_p_assign(spark, corpus, 8) == 58  # in-memory too
+
+
 def test_parse_mem_bytes():
     assert bi._parse_mem_bytes("2g") == 2 << 30
     assert bi._parse_mem_bytes("512m") == 512 << 20
