@@ -271,6 +271,16 @@ def build_queries() -> dict:
             ).agg(F.count("*").alias("tf"))
         ).select(F.col("id").alias("doc_id"), "simhash")
     )
+    q["dedup_clusters"] = lambda spark, sf: (
+        # pairs -> connected components -> per-doc cluster label + size:
+        # the deletion-set builder (keep cluster_id, drop the rest)
+        dedup.neardup_clusters(
+            dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(_tri_shingles(spark, sf), 16), 4, 4
+            ),
+            _documents(spark, sf), "doc_id",
+        ).select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+    )
     q["dedup_embedding_pairs"] = lambda spark, sf: (
         dedup.embedding_neardup_pairs(_embeddings(spark, sf), "vec_id", "embedding", 0.40)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -473,6 +483,32 @@ bands AS (
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a JOIN bands b USING (band, bkey) WHERE a.id < b.id
+"""
+    # clusters = transitive closure of the LSH candidate pairs; DuckDB's
+    # recursive CTE plays the oracle for the large-star/small-star CC
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {MINHASH_SQL},
+bands AS (
+  SELECT id, b.b AS band,
+         md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bkey
+  FROM sigs, (SELECT i::INT AS b FROM generate_series(0, 3) g(i)) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bkey) WHERE a.id < b.id
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u),
+lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size FROM lab JOIN sz USING (cluster_id)
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH {TRI_SHINGLES},

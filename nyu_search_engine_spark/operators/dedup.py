@@ -237,6 +237,135 @@ def embedding_neardup_lsh_pairs(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node's strictly-larger neighbors are
+    re-attached to the minimum of its closed neighborhood."""
+    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("m"))
+    )
+    return (
+        nbrs.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over edges oriented large->small (the
+    large-star output invariant): every node and its smaller neighbors
+    attach to the neighborhood minimum."""
+    m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    arms = (
+        e.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfs = m.select("src", F.col("m").alias("dst"))  # m < src always
+    return arms.union(selfs).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``; component =
+    the smallest node id reachable from it — the canonical member of a
+    near-dup cluster.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the standard
+    shuffle-only CC algorithm: no driver-side graph, no vertex-count
+    state, converges in O(log^2 n) rounds (2-3 in practice for near-dup
+    graphs, whose components are small and dense). Each round is two
+    groupBy-min + join shuffles over the CURRENT edge set, which only
+    shrinks (both stars strictly reduce the potential). Per round the
+    plan is cut with ``localCheckpoint`` — iterative DataFrames
+    otherwise stack lineage until planning dominates; on a real cluster
+    with a configured ``setCheckpointDir`` the reliable ``checkpoint``
+    is used instead (fault tolerance across a multi-hour 10^12-edge
+    run). Convergence is detected from two scalar aggregates (count +
+    xxhash64 checksum), never a collect of the edge set.
+    """
+    e = (
+        edges.select(
+            F.greatest(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("src"),
+            F.least(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    reliable = e.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
+    nodes = _cut(nodes)  # derived from pre-loop e; pin it before e churns
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        e = _cut(_small_star(_large_star(e)))
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: a long sum of 2^63-range hashes overflows
+            # under ANSI mode; decimal(38,0) holds ~10^19 edges' worth
+            F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("chk"),
+        ).first()
+        cur = (sig["n"], sig["chk"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    # converged edge set is a star forest: src -> component minimum
+    comp = e.groupBy("src").agg(F.min("dst").alias("component"))
+    return (
+        nodes.join(comp, nodes["id"] == comp["src"], "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame, all_docs: DataFrame, id_col: str,
+    pair_a: str = "id_a", pair_b: str = "id_b",
+) -> DataFrame:
+    """(id, cluster_id, cluster_size) for EVERY doc — the deletion-set
+    builder a training-data dedup pipeline actually needs: candidate
+    PAIRS (from MinHash-LSH / SimHash / embedding blocking) glued into
+    clusters by connected components, singletons kept as their own
+    cluster, cluster_id = min doc id (the canonical to keep; every other
+    member is the deletion set). Cost beyond the CC rounds: one left
+    join (docs x tiny component map) + one groupBy(cluster_id) — both
+    plain shuffles, no skew beyond the duplicate-cluster sizes
+    themselves."""
+    cc = connected_components(pairs, pair_a, pair_b).select(
+        F.col("id").alias("_cc_id"), "component"
+    )
+    labeled = (
+        all_docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(cc, F.col("id") == F.col("_cc_id"), "left")
+        .select("id", F.coalesce("component", "id").alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        "id", "cluster_id", "cluster_size")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

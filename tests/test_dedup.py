@@ -172,3 +172,67 @@ def test_embedding_neardup_lsh_pairs_subset_and_exact(spark):
     assert (0, 1) in blocked
     for pair, cos in blocked.items():
         assert abs(cos - exact[pair]) < 1e-12
+
+
+def _py_components(edges):
+    """Union-find oracle: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    # adversarial shapes: a long descending path (forces multiple star
+    # rounds), a cycle, a dense clique, crossing chains, and self/dup edges
+    edges = (
+        [(i + 1, i) for i in range(10, 20)]          # path 10-...-20
+        + [(1, 2), (2, 3), (3, 1)]                   # cycle
+        + [(a, b) for a in (30, 31, 32, 33) for b in (30, 31, 32, 33) if a < b]
+        + [(40, 50), (50, 41), (41, 51), (51, 40)]   # crossing chains
+        + [(60, 60), (61, 62), (62, 61)]             # self loop + dup both ways
+    )
+    exp = _py_components(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    # self-loop-only nodes carry no edges after cleaning -> absent
+    exp.pop(60, None)
+    assert got == exp
+
+
+def test_neardup_clusters_labels_every_doc_with_sizes(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(pairs, docs, "doc_id").collect()
+    }
+    assert out == {
+        0: (0, 3), 3: (0, 3), 5: (0, 3),      # glued cluster
+        6: (6, 2), 7: (6, 2),                 # pair cluster
+        1: (1, 1), 2: (2, 1), 4: (4, 1),      # singletons
+    }
+
+
+def test_neardup_clusters_empty_pairs_all_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup.neardup_clusters(pairs, docs, "doc_id").collect()
+    assert all(r["cluster_id"] == r["id"] and r["cluster_size"] == 1
+               for r in out)
+    assert len(out) == 4
