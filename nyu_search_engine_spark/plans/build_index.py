@@ -179,7 +179,20 @@ class _PhaseClock:
 # fixes the partitioning of every downstream cached intermediate and, in
 # fast mode, the index shard layout). INPUT (on-disk, compressed) bytes
 # are the sizing proxy; in-memory cached blocks run ~2-3x that.
-ASSIGN_PARTITION_TARGET_MAX_BYTES = 64 << 20  # maxPartitionBytes-style cap
+#
+# 32 MB, not Spark's 128 MB scan default, for two measured reasons:
+# (a) load balance — at 1M docs the 32 MB target (58 partitions) ran the
+#     local[8] build 12-25% faster than the 64 MB one (32 partitions):
+#     7+ waves absorb the explode/sort/assemble per-partition variance
+#     that 4 waves expose as tail idle (thread util 81-84% vs 64-70%;
+#     BENCH/SCALING_2_to_8_1M_r5parity.md vs CACHE_COMPRESS_AB_1M.md
+#     same-config OFF arms);
+# (b) measurement/cluster fidelity — with the cap below heap/64 for all
+#     heaps >= 2 GB, the partition count depends only on corpus bytes,
+#     not executor memory, so two cluster sizes build identical
+#     partition/shard layouts (the heap-coupled 64 MB rule made the
+#     scaling pair compare 58- vs 32-shard builds).
+ASSIGN_PARTITION_TARGET_MAX_BYTES = 32 << 20  # maxPartitionBytes-style cap
 ASSIGN_PARTITION_HEAP_DIVISOR = 64  # target also <= executor_heap/64
 
 
@@ -281,14 +294,18 @@ def _auto_p_assign(spark: SparkSession, corpus: DataFrame,
     (BENCH/SCALING_2_to_8_1M_r5v3.md appendix — fix direction registered
     there before this change).
 
-    Rule: target ``min(64 MB, executor_heap/64)`` input bytes per
-    partition, floored at ``spark.sql.shuffle.partitions``. The corpus
-    size comes from the scan's file sizes (zero Spark jobs); in-memory /
-    non-local-file corpora keep the configured parallelism (their size is
-    unknowable without a job — the caller controls those cases). At the
-    100 TB target the count then scales with data (≈ bytes/64 MB ranges)
-    instead of a session constant, matching maxPartitionBytes-style scan
-    sizing on a real cluster.
+    Rule: target ``min(32 MB, executor_heap/64)`` input bytes per
+    partition, floored at ``spark.sql.shuffle.partitions`` (the 32 MB
+    cap's measured rationale is at ASSIGN_PARTITION_TARGET_MAX_BYTES).
+    The corpus size comes from the scan's file sizes (zero Spark jobs);
+    in-memory / non-local-file corpora keep the configured parallelism
+    (their size is unknowable without a job — the caller controls those
+    cases). At the 100 TB target the count then scales with data
+    (≈ bytes/32 MB ranges) instead of a session constant, matching
+    maxPartitionBytes-style scan sizing on a real cluster — and, because
+    the cap binds below heap/64 for any ≥ 2 GB executor, the count is
+    independent of cluster size, so scaling comparisons build identical
+    layouts.
 
     ``SPARK_GRAFT_ASSIGN_PARTITIONS`` overrides the whole rule with an
     explicit count. Two uses: an operator who knows the corpus, and
