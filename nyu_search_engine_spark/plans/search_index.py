@@ -106,14 +106,30 @@ class IndexSearcher:
     """Loads an index built by ``build_index`` and answers queries."""
 
     def __init__(self, spark: SparkSession, index_root: str,
-                 lexicon_driver_cache: bool | None = None) -> None:
-        self.spark = spark
+                 lexicon_driver_cache: bool | None = None,
+                 query_aqe: bool = False) -> None:
+        # Query plans run on a SIBLING session (shared SparkContext and
+        # block-manager caches, independent SQLConf) with AQE off: a
+        # single query's shuffles are n_shards-row tiny, and AQE's
+        # per-exchange query-stage materialization adds a scheduling
+        # round-trip per exchange — measured +25-40% single-query
+        # latency at 100k (BENCH/QUERY_AQE_AB_100k.md). The BUILD keeps
+        # AQE (coalescing/skew handling matter at corpus scale); the
+        # caller's session conf is never touched. query_aqe=True keeps
+        # queries on the caller's session (A/B arm).
+        if not query_aqe:
+            self.spark = spark.newSession()
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        else:
+            self.spark = spark
         self.index_root = index_root
-        self.postings = index_io.read_postings(spark, index_root)
+        # all index frames bind to self.spark — a DataFrame executes
+        # under the conf of the session that created it
+        self.postings = index_io.read_postings(self.spark, index_root)
         # the lexicon is hot (probed per query): keep it cluster-cached
-        self.lexicon = index_io.read_lexicon(spark, index_root).persist()
-        self.docs = index_io.read_docs(spark, index_root)
-        stats = index_io.read_stats(spark, index_root)
+        self.lexicon = index_io.read_lexicon(self.spark, index_root).persist()
+        self.docs = index_io.read_docs(self.spark, index_root)
+        stats = index_io.read_stats(self.spark, index_root)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         if lexicon_driver_cache is None:

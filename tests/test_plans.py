@@ -51,6 +51,17 @@ def test_decorate_pushdown_skipped_above_id_cap(searcher, monkeypatch):
     assert df.count() == 10
 
 
+def test_query_session_disables_aqe_without_touching_caller(spark, searcher):
+    """Queries run on a sibling session with AQE off (per-exchange stage
+    materialization costs a scheduling round-trip per query,
+    BENCH/QUERY_AQE_AB_100k.md); the caller's session keeps AQE for
+    builds, and both share one SparkContext (caches stay shared)."""
+    assert searcher.spark is not spark
+    assert searcher.spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert searcher.spark.sparkContext is spark.sparkContext
+
+
 def test_bruteforce_uses_arrow_udf_and_takeordered(corpus):
     df = bruteforce_topk(corpus, Query(("rareterm00", "hotterm0"), "OR"))
     plan = _plan(df)
