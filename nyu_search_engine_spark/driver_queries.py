@@ -281,6 +281,18 @@ def build_queries() -> dict:
             _documents(spark, sf), "doc_id",
         ).select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
     )
+    q["dedup_simhash_pairs"] = lambda spark, sf: (
+        # Manku-style pigeonhole band blocking over the 60-bit simhash:
+        # complete for hamming <= 3 by construction, bucket-local join
+        dedup.simhash_pairs(
+            dedup.simhash(
+                _tokens_exploded(spark, sf).groupBy(
+                    F.col("doc_id").alias("id"), "term"
+                ).agg(F.count("*").alias("tf"))
+            ),
+            max_hamming=3,
+        )
+    )
     q["dedup_embedding_pairs"] = lambda spark, sf: (
         dedup.embedding_neardup_pairs(_embeddings(spark, sf), "vec_id", "embedding", 0.40)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -531,6 +543,31 @@ w AS (
 SELECT id AS doc_id,
        sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
 FROM w GROUP BY id
+"""
+    o["dedup_simhash_pairs"] = f"""
+WITH {TOKS},
+tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+h AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+w AS (
+  SELECT id, j.j AS j, sum(tf * (((h >> j.j) & 1) * 2 - 1)) AS w
+  FROM h, (SELECT i::INT AS j FROM generate_series(0, 59) g(i)) j
+  GROUP BY id, j.j
+),
+fp AS (
+  SELECT id,
+         sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM w GROUP BY id
+),
+bands AS (
+  SELECT id, simhash, j.j AS band, (simhash >> (j.j * 15)) & 32767 AS bkey
+  FROM fp, (SELECT i::INT AS j FROM generate_series(0, 3) g(i)) j
+),
+cand AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib, a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b USING (band, bkey) WHERE a.id < b.id
+)
+SELECT ia AS id_a, ib AS id_b, bit_count(xor(ha, hb))::INT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
     o["dedup_embedding_pairs"] = """
 WITH e AS (

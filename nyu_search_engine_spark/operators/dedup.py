@@ -237,6 +237,54 @@ def embedding_neardup_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    fp: DataFrame, max_hamming: int = 3, bits: int = STOPWORD_SAFE_BITS,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — all pairs with Hamming(simhash) <=
+    ``max_hamming``, from a (id, simhash) fingerprint table.
+
+    Pigeonhole band blocking (Manku/Jain/Das Sarma, WWW'07 web near-dup
+    detection): split the ``bits``-bit fingerprint into ``max_hamming+1``
+    contiguous bands — two fingerprints within ``max_hamming`` differing
+    bits MUST agree exactly on at least one band, so the (band, band
+    bits) equi-join is a COMPLETE candidate generator, not an
+    approximation; an exact popcount-of-xor then verifies each
+    candidate. Scale shape: linear explode to k+1 rows per doc, one
+    bucket-local equi-join (no O(n^2)); clusters of truly identical
+    fingerprints are the only quadratic pockets, exactly like the
+    exact-dedup groupBy. Larger ``max_hamming`` widens recall but
+    shrinks bands — keep k*log2(n) well under ``bits`` so random
+    collisions stay rare (k=3 over 60 bits: 15-bit bands)."""
+    nb = max_hamming + 1
+    w = -(-bits // nb)  # band width, last band may be narrower
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), j * w)
+            .bitwiseAND(F.lit((1 << min(w, bits - j * w)) - 1))
+            .alias("bkey"),
+        )
+        for j in range(nb)
+    ])
+    banded = fp.select(
+        "id", "simhash", F.explode(bands).alias("bk")
+    ).select("id", "simhash",
+             F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node's strictly-larger neighbors are
     re-attached to the minimum of its closed neighborhood."""

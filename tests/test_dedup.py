@@ -236,3 +236,39 @@ def test_neardup_clusters_empty_pairs_all_singletons(spark):
     assert all(r["cluster_id"] == r["id"] and r["cluster_size"] == 1
                for r in out)
     assert len(out) == 4
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, corpus):
+    """Pigeonhole banding is a COMPLETE candidate generator for
+    hamming <= k — the operator must return exactly the brute-force
+    all-pairs answer, not a recall-bounded subset."""
+    tf = (
+        corpus.select(
+            F.concat_ws("|", "repo", "path").alias("id"),
+            F.explode(tokens_col(F.col("content"))).alias("term"),
+        ).groupBy("id", "term").agg(F.count("*").alias("tf"))
+    )
+    fp = dedup.simhash(tf)
+    rows = {r["id"]: int(r["simhash"]) for r in fp.collect()}
+    k = 3
+    exp = {
+        (a, b): bin(rows[a] ^ rows[b]).count("1")
+        for a in rows for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= k
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(fp, max_hamming=k).collect()
+    }
+    assert got == exp
+    assert len(got) > 0  # synth corpus plants exact clones -> hamming 0
+
+
+def test_simhash_pairs_band_split_covers_all_bits(spark):
+    # two fingerprints differing ONLY in the last (narrow) band must
+    # still pair at hamming 1 — the band math must cover bit 59
+    fp = spark.createDataFrame(
+        [(1, 0), (2, 1 << 59)], "id long, simhash long"
+    )
+    out = dedup.simhash_pairs(fp, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 1)]
