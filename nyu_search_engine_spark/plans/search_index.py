@@ -120,6 +120,19 @@ class IndexSearcher:
         if not query_aqe:
             self.spark = spark.newSession()
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # Without AQE's partition coalescing, a query stage runs
+            # shuffle.partitions tasks — at 32 partitions on a 2-core
+            # cluster that is 16 scheduling waves of n_shards-row tasks
+            # (measured: narrow-level fixture latency 1.43 -> 2.09 s,
+            # BENCH/QUERY_SCALING_2_to_8_500k_r5aqe.md). Size the query
+            # session's reduce parallelism to the cluster's cores: same
+            # total kernel work, one wave. Kernel parallelism is
+            # per-shard either way (applyInPandas groups by shard inside
+            # the task); cores > n_shards just leaves empty partitions.
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, spark.sparkContext.defaultParallelism)),
+            )
         else:
             self.spark = spark
         self.index_root = index_root

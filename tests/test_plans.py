@@ -60,6 +60,12 @@ def test_query_session_disables_aqe_without_touching_caller(spark, searcher):
     assert searcher.spark.conf.get("spark.sql.adaptive.enabled") == "false"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert searcher.spark.sparkContext is spark.sparkContext
+    # without AQE coalescing, reduce parallelism must match the cluster's
+    # cores (one task wave), not the build-sized shuffle.partitions
+    assert searcher.spark.conf.get("spark.sql.shuffle.partitions") == str(
+        spark.sparkContext.defaultParallelism)
+    assert spark.conf.get("spark.sql.shuffle.partitions") != str(
+        spark.sparkContext.defaultParallelism)  # caller conf untouched
 
 
 def test_bruteforce_uses_arrow_udf_and_takeordered(corpus):
