@@ -48,6 +48,7 @@ from ..constants import (
 from ..functions.tokenize import tokenize_tf, tokens_col, tokens_tf_cols
 from ..operators.assemble import POSTINGS_SCHEMA, assemble_postings
 from ..operators.docids import assign_doc_ids_full
+from ..sources import fsio
 from ..sources.index_io import table_path
 
 MANIFEST_SCHEMA = (
@@ -57,7 +58,7 @@ MANIFEST_SCHEMA = (
 
 
 def _exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return fsio.exists(os.path.join(path, "_SUCCESS"))
 
 
 def _clear_data_files(path: str) -> None:
@@ -68,12 +69,12 @@ def _clear_data_files(path: str) -> None:
     file: index_io.read_stats takes ``.first()`` over the directory, so
     a stale stats row would silently corrupt BM25 (wrong n_docs/avgdl).
     """
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         return
-    for f in os.listdir(path):
+    for f in fsio.listdir(path):
         if not f.startswith(("_", ".")):
             try:
-                os.remove(os.path.join(path, f))
+                fsio.remove_file(os.path.join(path, f))
             except IsADirectoryError:
                 pass
 
@@ -94,15 +95,13 @@ def _driver_write_rows(path: str, filename: str, columns: dict,
     append shape: each file is a distinct (group, attempt) record.
     """
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    os.makedirs(path, exist_ok=True)
+    fsio.makedirs(path)
     if overwrite:
         _clear_data_files(path)
     tbl = pa.table(columns, schema=schema)
-    pq.write_table(tbl, os.path.join(path, filename))
-    with open(os.path.join(path, "_SUCCESS"), "w"):
-        pass
+    fsio.write_parquet(tbl, os.path.join(path, filename))
+    fsio.write_text(os.path.join(path, "_SUCCESS"), "")
 
 
 def _manifest_schema():
@@ -125,19 +124,18 @@ def _read_manifest_driver(manifest_path: str) -> "pd.DataFrame | None":
     Spark costs a job launch per lookup. Skips _SUCCESS/_-prefixed files
     like Spark's parquet reader does.
     """
-    import pyarrow.parquet as pq
-
-    if not os.path.isdir(manifest_path):
+    if not fsio.isdir(manifest_path):
         return None
     files = [
         os.path.join(manifest_path, f)
-        for f in sorted(os.listdir(manifest_path))
+        for f in sorted(fsio.listdir(manifest_path))
         if not f.startswith(("_", ".")) and not f.endswith(".crc")
     ]
     if not files:
         return None
     return pd.concat(
-        [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+        [fsio.read_parquet(f).to_pandas() for f in files],
+        ignore_index=True,
     )
 
 
@@ -342,12 +340,12 @@ def build_index(
 ) -> dict:
     """Build the full index under ``out``. Returns build metrics.
 
-    ``out`` must be a driver-local POSIX path: the resume bookkeeping
-    (build_conf.json, manifest rows, stats) is written/read driver-side
-    with os/pyarrow for zero job launches in the critical path. The bulk
-    data writes go through Spark and would accept any Hadoop FS, but an
-    hdfs://|s3a:// index root breaks the bookkeeping — to support one,
-    route the driver-side I/O through pyarrow.fs/fsspec.
+    ``out`` may be a driver-local path or a URI (``hdfs://``, ``s3a://``,
+    ``file://``): the resume bookkeeping (build_conf.json, manifest rows,
+    stats) is written/read driver-side — zero job launches in the
+    critical path — through ``sources/fsio.py``, which routes URI roots
+    via ``pyarrow.fs`` and keeps plain paths on the ``os`` fast path.
+    The bulk data writes go through Spark's Hadoop FS layer as always.
 
     shard_size=None selects partition-as-shard FAST MODE: dense docID
     assignment leaves each range partition holding a contiguous doc_id
@@ -397,20 +395,18 @@ def build_index(
     conf_path = os.path.join(out, "build_conf.json")
     p_assign = _auto_p_assign(spark, corpus, shuffle_p)
     shard_bounds: list[list[int]] | None = None  # [[shard, max_doc_id]...]
-    resuming = resume and os.path.exists(conf_path)
+    resuming = resume and fsio.exists(conf_path)
     if resuming:
-        with open(conf_path) as fh:
-            prior = json.load(fh)
+        prior = json.loads(fsio.read_text(conf_path))
         shard_size = prior["shard_size"]  # None => partition-as-shard mode
         p_assign = prior["p_assign"]
         shard_bounds = prior.get("shard_bounds")
-    os.makedirs(out, exist_ok=True)
+    fsio.makedirs(out)
 
     def _write_conf() -> None:
-        with open(conf_path, "w") as fh:
-            json.dump({"shard_size": shard_size, "n_groups": n_groups,
-                       "p_assign": p_assign, "shard_bounds": shard_bounds},
-                      fh)
+        fsio.write_text(conf_path, json.dumps(
+            {"shard_size": shard_size, "n_groups": n_groups,
+             "p_assign": p_assign, "shard_bounds": shard_bounds}))
 
     _write_conf()
     fast_mode = shard_size is None
@@ -422,9 +418,7 @@ def build_index(
         # any prior build in the same out dir are cleared up front —
         # overwrite semantics at build granularity.
         _clear_data_files(manifest_path)
-        import shutil as _shutil
-
-        _shutil.rmtree(table_path(out, POSTINGS_DIR), ignore_errors=True)
+        fsio.rmtree(table_path(out, POSTINGS_DIR))
     # fast-mode resume: partition boundaries from a fresh session need not
     # match the first run's, so shards must come from the RECORDED bounds
     use_recorded_bounds = fast_mode and resuming and bool(shard_bounds)
@@ -559,14 +553,12 @@ def build_index(
         if cache_input:
             corpus_cached.unpersist()
     else:  # resumed past the docs stage: recover stats from disk
-        import pyarrow.parquet as pq
-
         sfile = next(
             os.path.join(stats_path, f)
-            for f in sorted(os.listdir(stats_path))
+            for f in sorted(fsio.listdir(stats_path))
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         )
-        srow = pq.read_table(sfile).to_pandas().iloc[0]
+        srow = fsio.read_parquet(sfile).to_pandas().iloc[0]
         n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
     metrics["docs_stage_s"] = time.time() - t_docs
@@ -768,8 +760,8 @@ def build_index(
         if metrics["n_postings"]
         else 0.0
     )
-    with open(os.path.join(out, "index_meta.json"), "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    fsio.write_text(os.path.join(out, "index_meta.json"),
+                    json.dumps(metrics, indent=2))
     return metrics
 
 

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.build_index import build_index
+from ..sources import fsio
 
 
 def start_incremental_index(
@@ -64,7 +65,7 @@ def _record_segment(spark: SparkSession, out: str, seg: int, n_docs: int) -> Non
 
     man_path = os.path.join(out, "segments_manifest")
     base = 0
-    if os.path.exists(man_path):
+    if fsio.exists(man_path):
         prev = spark.read.parquet(man_path)
         if prev.filter(F.col("seg") == seg).count() > 0:
             return
@@ -217,8 +218,8 @@ def compact_segments(spark: SparkSession, out: str, dest: str) -> dict:
 
     metrics = {"n_docs": n_docs, "avgdl": avgdl, "n_segments": len(per_seg),
                "n_shards": acc}
-    with open(os.path.join(dest, "compact_meta.json"), "w") as fh:
-        json.dump(metrics, fh)
+    fsio.write_text(os.path.join(dest, "compact_meta.json"),
+                    json.dumps(metrics))
     return metrics
 
 
