@@ -9,9 +9,10 @@ re-expression:
    -> assign_doc_ids                       [SHUFFLE 1: range by (repo,path,commit)]
    -> tokenize_tf Arrow UDF (+ sha256)     [one JVM->Python pass, cached]
    -> docs + stats tables
-   -> explode -> repartition("shard")      [SHUFFLE 2 == the temp-file merge:
-      + sortWithinPartitions(shard,term,doc_id)   sort-based shuffle spills
-      -> assemble_postings mapInPandas           and merges sorted runs]
+   -> (repartition("shard") only when shard_size is explicit) [SHUFFLE 2:
+      per-DOC list rows move, never exploded postings]
+   -> assemble_postings mapInArrow: flatten + lexsort + vectorized encode
+      per partition == the reference's temp-run sort + k-way merge
    -> postings table, written per contiguous shard GROUP (checkpoint unit)
    -> lexicon (tiny agg over assembled rows)     [SHUFFLE 3, rows ~ vocab]
 
@@ -648,26 +649,23 @@ def build_index(
             per_doc if n_groups == 1
             else per_doc.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
         )
-        if occurrences:
-            grp_src = grp_doc.select(
-                "doc_id", "shard", "doclen",
-                F.explode("tokens").alias("term"),
-            )
-        else:
-            grp_src = grp_doc.select(
-                "doc_id", "shard", "doclen",
-                F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
-            ).select(
-                "doc_id", "shard", "doclen",
-                F.col("p.terms").alias("term"),
-                F.col("p.tfs").cast("long").alias("tf"),
-            )
+        # per-DOC rows go straight into the mapInArrow kernel: the former
+        # explode -> JVM sortWithinPartitions -> mapInPandas pipeline
+        # materialized one skinny row per (doc, term) through the
+        # ExternalSorter and the Arrow boundary; the kernel now flattens,
+        # sorts (numpy lexsort over dictionary codes) and encodes whole
+        # partitions vectorized (operators/assemble.py). When a shuffle is
+        # needed, it moves the per-doc list rows — same bytes, ~40x fewer
+        # rows than the exploded form (guide §2.3: shuffle fewer rows,
+        # explode after).
+        cols = ["doc_id", "shard", "doclen"] + (
+            ["tokens"] if occurrences else ["terms", "tfs"]
+        )
+        grp_src = grp_doc.select(*cols)
         if needs_shuffle:
             grp_src = grp_src.repartition(per_group_p, "shard")
-        part = (
-            grp_src
-            .sortWithinPartitions("shard", "term", "doc_id")
-            .mapInPandas(assemble_postings(avgdl, occurrences), POSTINGS_SCHEMA)
+        part = grp_src.mapInArrow(
+            assemble_postings(avgdl, occurrences), POSTINGS_SCHEMA
         )
         gpath = os.path.join(table_path(out, POSTINGS_DIR), f"group={g}")
         # the manifest metrics ride the postings write itself (Observation
