@@ -46,7 +46,7 @@ from ..constants import (
     POSTINGS_DIR,
     STATS_DIR,
 )
-from ..functions.tokenize import tokenize_tf, tokens_col, tokens_tf_cols
+from ..functions.tokenize import tokenize_tf_map, tokens_col, tokens_tf_cols
 from ..operators.assemble import POSTINGS_SCHEMA, assemble_postings
 from ..operators.docids import assign_doc_ids_full
 from ..sources import fsio
@@ -475,14 +475,13 @@ def build_index(
             .persist(cache_lvl)
         )
     else:
-        # Fused tokenize+tf: one row per (doc, term) into the sort instead
-        # of one per occurrence. "arrow" = pandas UDF; "jvm_tf" = pure
-        # column expressions (array_sort + run-start diffs, zero Python)
-        if tokenizer == "arrow":
-            tk_expr = tokenize_tf("content")
-        elif tokenizer == "jvm_tf":
+        # Fused tokenize+tf: one row per (doc, term) into the kernel
+        # instead of one per occurrence. "arrow" = byte-level vectorized
+        # mapInArrow batch kernel; "jvm_tf" = pure column expressions
+        # (array_sort + run-start diffs, zero Python)
+        if tokenizer == "jvm_tf":
             tk_expr = tokens_tf_cols(F.col("content"))
-        else:
+        elif tokenizer != "arrow":
             raise ValueError(f"unknown tokenizer {tokenizer!r}")
         if tokenizer == "jvm_tf":
             # inline() = a Generate node: the struct expression is
@@ -501,23 +500,34 @@ def build_index(
                 .persist(cache_lvl)
             )
         else:
-            tokenized = (
-                assigned
-                .select(
-                    "doc_id", "repo", "path", "commit", "lang",
-                    *(["shard"] if fast_mode else []),
-                    F.sha2(F.col("content"), 256).alias("sha256"),
-                    tk_expr.alias("tk"),
-                )
-                .select(
-                    "doc_id", "repo", "path", "commit", "lang", "sha256",
-                    *(["shard"] if fast_mode else []),
-                    F.col("tk.terms").alias("terms"),
-                    F.col("tk.tfs").alias("tfs"),
-                    F.col("tk.doclen").alias("doclen"),
-                )
-                .persist(cache_lvl)
+            # r6: the Arrow tokenizer is a mapInArrow batch kernel (byte-
+            # level numpy tokenize + dictionary-encoded tf counting,
+            # functions/tokenize.py tokenize_tf_batch) — the former
+            # pandas UDF looped per doc (regex findall + np.unique) and
+            # materialized every term list as Python objects on return.
+            # sha256 stays a JVM expression computed BEFORE the boundary
+            # and passes through; content never crosses back (guide §4.1:
+            # pass only the columns the function needs, return no payload).
+            passthrough = [
+                "doc_id", "repo", "path", "commit", "lang",
+                *(["shard"] if fast_mode else []), "sha256",
+            ]
+            pre = assigned.select(
+                "doc_id", "repo", "path", "commit", "lang",
+                *(["shard"] if fast_mode else []),
+                F.sha2(F.col("content"), 256).alias("sha256"),
+                "content",
             )
+            tk_schema = (
+                "doc_id long, repo string, path string, commit string, "
+                "lang string, "
+                + ("shard int, " if fast_mode else "")
+                + "sha256 string, terms array<string>, tfs array<int>, "
+                "doclen int"
+            )
+            tokenized = pre.mapInArrow(
+                tokenize_tf_map(passthrough), tk_schema
+            ).persist(cache_lvl)
     t_docs = time.time()
     tk = clock.start()
     docs_stage_ran = not (resume and _exists(docs_path) and _exists(stats_path))

@@ -110,3 +110,70 @@ def test_build_with_jvm_tf_tokenizer_rank_identical(spark, corpus, tmp_path):
         )
 
     assert fp(a_root) == fp(b_root)
+
+
+def test_tokenize_tf_batch_agrees_with_spec():
+    """The r6 byte-level vectorized batch tokenizer (tokenize_tf_batch)
+    must match tokenize_py + np.unique per doc — goldens (incl. the
+    non-ASCII fallback trigger), empties at batch edges, and a synth
+    corpus slice."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nyu_search_engine_spark.functions.tokenize import tokenize_tf_batch
+    from nyu_search_engine_spark.synth import synth_corpus_pandas
+
+    texts = (
+        [t for t, _ in GOLDENS]
+        + [None, "", "a" * 63 + "!", "KKelvin k"]  # U+212A lower->k
+        + synth_corpus_pandas(200)["content"].tolist()
+        + [""]
+    )
+    terms, tfs, doclen = tokenize_tf_batch(pa.array(texts, pa.string()))
+    t_list, f_list = terms.to_pylist(), tfs.to_pylist()
+    for i, text in enumerate(texts):
+        toks = tokenize_py(text) if text is not None else []
+        if toks:
+            arr, counts = np.unique(
+                np.asarray(toks, dtype=object), return_counts=True)
+            want_t, want_f = list(arr), counts.astype(int).tolist()
+        else:
+            want_t, want_f = [], []
+        assert t_list[i] == want_t, f"terms mismatch doc {i}: {text!r}"
+        assert f_list[i] == want_f, f"tfs mismatch doc {i}"
+        assert doclen[i] == len(toks)
+
+
+def test_tokenize_tf_batch_doc_boundary_runs():
+    """Token runs must never merge across adjacent documents (the raw
+    Arrow buffer concatenates doc bytes with no separators)."""
+    import pyarrow as pa
+
+    from nyu_search_engine_spark.functions.tokenize import tokenize_tf_batch
+
+    texts = ["abc", "def", "x1", "", "9z"]  # every boundary is tok|tok
+    terms, tfs, doclen = tokenize_tf_batch(pa.array(texts, pa.string()))
+    assert terms.to_pylist() == [["abc"], ["def"], ["x1"], [], ["9z"]]
+    assert list(doclen) == [1, 1, 1, 0, 1]
+
+
+def test_build_with_arrow_kernel_tokenizer_matches_jvm_tf(spark, corpus, tmp_path):
+    """Index built via the mapInArrow tokenizer == jvm_tf build, byte-level."""
+    from nyu_search_engine_spark.plans.build_index import build_index
+    from nyu_search_engine_spark.sources import index_io
+
+    a_root, b_root = str(tmp_path / "ka"), str(tmp_path / "kb")
+    build_index(spark, corpus, a_root, shard_size=80, n_groups=2,
+                parallel_groups=False, tokenizer="arrow")
+    build_index(spark, corpus, b_root, shard_size=80, n_groups=2,
+                parallel_groups=False, tokenizer="jvm_tf")
+
+    def fp(root):
+        df = index_io.read_postings(spark, root)
+        return sorted(
+            (r["shard"], r["term"], r["df"], bytes(r["doc_ids_vb"]).hex(),
+             bytes(r["tfs_vb"]).hex(), bytes(r["doclens_vb"]).hex())
+            for r in df.collect()
+        )
+
+    assert fp(a_root) == fp(b_root)
