@@ -531,38 +531,52 @@ def build_index(
     t_docs = time.time()
     tk = clock.start()
     docs_stage_ran = not (resume and _exists(docs_path) and _exists(stats_path))
+    docs_write_job = None
     if docs_stage_ran:
-        # Observation fuses the corpus-stats aggregate INTO the docs write
-        # (metrics collected as rows stream to parquet) — no second pass
-        # over the tokenized cache for stats.
-        obs = Observation("corpus_stats")
-        tokenized.observe(
-            obs,
+        # r6 (guide §2.6 — overlap independent jobs): the corpus-stats
+        # aggregate IS the cache-materialization job (rows stream into the
+        # cache store as the agg consumes them; measured +0.6 s over the
+        # bare tokenize). The docs parquet write then becomes a cheap
+        # column-pruned CACHE read (no terms/tfs decode — measured 0.44 s
+        # vs 2+ s inline) and is deferred to run CONCURRENTLY with the
+        # postings group jobs below: both are independent readers of the
+        # same cache, so the docs write back-fills the postings stage's
+        # scheduling gaps instead of serializing in front of it. Still
+        # exactly ONE tokenize pass over the corpus.
+        spark.sparkContext.setJobDescription("build: tokenize+cache+stats")
+        srow = tokenized.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens"),
-        ).select(
-            "doc_id", "repo", "path", "commit", "lang", "doclen", "sha256"
-        ).write.mode("overwrite").parquet(docs_path)
-        o = obs.get
-        n_docs, avgdl = int(o["n_docs"]), float(o["avgdl"] or 0.0)
+        ).first()
+        spark.sparkContext.setJobDescription(None)
+        n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"] or 0.0)
         import pyarrow as pa
 
         _driver_write_rows(
             stats_path, "part-00000.parquet",
             {"n_docs": [n_docs], "avgdl": [avgdl],
-             "total_tokens": [int(o["total_tokens"] or 0)]},
+             "total_tokens": [int(srow["total_tokens"] or 0)]},
             pa.schema([("n_docs", pa.int64()), ("avgdl", pa.float64()),
                        ("total_tokens", pa.int64())]),
             overwrite=True,
         )
-        # the docs write materialized the tokenized cache: everything
+        # the stats agg materialized the tokenized cache: everything
         # downstream reads THAT cache, so the upstream corpus/ranged
         # caches (which hold the raw content column) can be released now
         # instead of pinning executor memory through the postings stage
         ranged_cache.unpersist()
         if cache_input:
             corpus_cached.unpersist()
+
+        def docs_write_job() -> None:
+            spark.sparkContext.setJobDescription("build: docs table write")
+            tokenized.select(
+                "doc_id", "repo", "path", "commit", "lang", "doclen",
+                "sha256",
+            ).write.mode("overwrite").parquet(docs_path)
+            spark.sparkContext.setJobDescription(None)
+            metrics["docs_stage_s"] = time.time() - t_docs
     else:  # resumed past the docs stage: recover stats from disk
         sfile = next(
             os.path.join(stats_path, f)
@@ -572,8 +586,9 @@ def build_index(
         srow = fsio.read_parquet(sfile).to_pandas().iloc[0]
         n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
+    # provisional: the deferred docs write overwrites this on completion
     metrics["docs_stage_s"] = time.time() - t_docs
-    clock.stop("docs_write", tk)  # tokenize + sha256 + docs/stats write
+    clock.stop("docs_write", tk)  # tokenize + sha256 + cache store + stats
 
     metrics["shard_size"] = shard_size
     metrics["fast_mode"] = fast_mode
@@ -710,18 +725,26 @@ def build_index(
 
     todo = [g for g in range(n_groups) if g not in done]
     tk = clock.start()
-    if parallel_groups and len(todo) > 1:
+    if parallel_groups and len(todo) + (1 if docs_write_job else 0) > 1:
         # concurrent group jobs keep the cluster saturated (each checkpoint
-        # unit is still an independent idempotent write + manifest row)
-        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+        # unit is still an independent idempotent write + manifest row);
+        # the deferred docs-table write rides the same pool — it reads the
+        # same cache and back-fills the group jobs' scheduling gaps
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(todo) + (1 if docs_write_job else 0))
+        ) as ex:
             futures = [ex.submit(run_group, g) for g in todo]
+            if docs_write_job is not None:
+                futures.append(ex.submit(docs_write_job))
             for f in futures:
                 f.result()
     else:
+        if docs_write_job is not None:
+            docs_write_job()
         for g in todo:
             run_group(g)
 
-    clock.stop("postings", tk)  # explode + sort + assemble + write + manifest
+    clock.stop("postings", tk)  # flatten + sort + assemble + writes + manifest
     tokenized.unpersist()
     # idempotent re-release for the resume path that skipped the docs stage
     # (the normal path already dropped these right after the docs write)
