@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import idf_np, score_col
@@ -190,7 +190,18 @@ class IndexSearcher:
 
     def search(self, query: Query, method: str = "pruned",
                decorate: bool = True, and_bounds: bool = True) -> DataFrame:
-        """``and_bounds=False`` disables the conjunctive kernel's
+        """Answer one query; returns (rank, doc_id, score[, doc columns]).
+
+        EAGER: the distributed kernel job runs inside this call (like the
+        reference's synchronous query processor) and the returned
+        DataFrame is recreated from the <= k merged rows — the driver-side
+        heap merge + rank costs one Spark stage less per query than the
+        lazy Window form, and decoration's doc_id point-lookup pushdown
+        requires the ids up front anyway. The result composes like any
+        DataFrame, but ``.explain()`` shows a local relation, not the
+        kernel subplan.
+
+        ``and_bounds=False`` disables the conjunctive kernel's
         block-max theta pruning (A/B arm — rank-identical results)."""
         planned = self.plan_terms(query)
         n_query_terms = len(set(query.terms))
@@ -294,6 +305,10 @@ class IndexSearcher:
     ) -> DataFrame:
         """Answer MANY queries in ONE postings scan -> (query_id, rank,
         doc_id, score).
+
+        EAGER like ``search``: each chunk's scan+kernel job runs inside
+        this call and per-query ranks are merged driver-side over the
+        bounded (n_queries x n_shards x k) candidate rows.
 
         Amortizes the per-query Spark job floor: all query terms ride one
         broadcast lexicon probe and one term-IN-pushdown scan; each shard
@@ -422,28 +437,72 @@ class IndexSearcher:
             .groupBy("shard")
             .applyInPandas(kernel, "query_id long, doc_id long, score double")
         )
-        ks = self.spark.createDataFrame(
-            [(qid, int(k)) for qid, (_, k, _) in qplans.items()],
-            "query_id long, k int",
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .join(F.broadcast(ks), "query_id")
-            .filter(F.col("rank") <= F.col("k"))
-            .select("query_id", "rank", "doc_id", "score")
-        )
-        return topk
+        # r6: per-query rank assigned driver-side over the collected
+        # candidates — bounded at n_queries_in_chunk * n_shards * k rows
+        # (each shard kernel already top-k's per query). Replaces a
+        # Window(query_id) + broadcast-join(k) tail: one exchange, a
+        # window stage and a createDataFrame round-trip per chunk gone.
+        rows = cand.collect()
+        by_qid: dict[int, list] = {}
+        for r in rows:
+            by_qid.setdefault(r["query_id"], []).append(r)
+        qids, out = [], []
+        for qid, (_, k, _) in qplans.items():
+            got = by_qid.get(qid)
+            if not got:
+                continue
+            got.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            for i, r in enumerate(got[:k]):
+                qids.append(int(qid))
+                out.append((i + 1, int(r["doc_id"]), float(r["score"])))
+        return self._ranked_local(out, qids=qids)
 
     # --- shared tail ------------------------------------------------------------
 
     def _rank(self, scored: DataFrame, k: int) -> DataFrame:
-        topk = scored.orderBy(F.desc("score"), "doc_id").limit(k)
-        # constant partition key: identical single-partition semantics over
-        # <= k rows, without WindowExec's empty-partition-spec warning
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "doc_id")
-        return topk.select(
-            F.row_number().over(w).alias("rank"), "doc_id", "score"
+        """Global top-k + rank. r6: ``orderBy().limit(k)`` executes as a
+        TERMINAL TakeOrderedAndProject (per-partition numpy heaps merged on
+        the driver — the reference's size-k heap merge), and the rank
+        column is attached driver-side over the <= k collected rows. The
+        former lazy form stacked Window on top of the limit, which
+        re-planned TakeOrdered into Sort + single-partition Exchange +
+        WindowExec — one extra stage (and the WindowExec
+        empty-partition-spec warning) per query, measured ~0.15-0.25 s of
+        the ~0.5 s single-query latency. Executes eagerly (see search())."""
+        rows = scored.orderBy(F.desc("score"), "doc_id").limit(k).collect()
+        return self._ranked_local(
+            [(i + 1, int(r["doc_id"]), float(r["score"]))
+             for i, r in enumerate(rows)]
+        )
+
+    def _ranked_local(self, rows: list[tuple[int, int, float]],
+                      qids: list[int] | None = None) -> DataFrame:
+        """Bounded ranked rows -> a VALUES-literal LocalRelation.
+
+        ``collect()`` on it is driver-only (no job) and building it costs
+        ~5 ms; ``createDataFrame(list)`` parallelizes an RDD whose collect
+        is a full job (~0.3 s measured). ``repr(float)`` round-trips
+        exactly through Spark's double literal parser, so scores stay
+        bitwise identical."""
+        if not rows:
+            return (self._empty(False) if qids is None
+                    else self._empty_batch(False))
+        if qids is None:
+            vals = ", ".join(
+                f"({rk},{did}L,CAST({float(sc)!r} AS DOUBLE))"
+                for rk, did, sc in rows
+            )
+            return self.spark.sql(
+                "SELECT rank, doc_id, score FROM VALUES "
+                f"{vals} AS t(rank, doc_id, score)"
+            )
+        vals = ", ".join(
+            f"({qid}L,{rk},{did}L,CAST({float(sc)!r} AS DOUBLE))"
+            for qid, (rk, did, sc) in zip(qids, rows)
+        )
+        return self.spark.sql(
+            "SELECT query_id, rank, doc_id, score FROM VALUES "
+            f"{vals} AS t(query_id, rank, doc_id, score)"
         )
 
     def _decorate(self, topk: DataFrame) -> DataFrame:
