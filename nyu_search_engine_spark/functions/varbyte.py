@@ -14,9 +14,6 @@ values (mandated no-per-row-Python, BASELINE.json input_hint).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..constants import BLOCK_SIZE
 
@@ -115,16 +112,47 @@ def vb_decode_docids_blocked(buf: bytes, block_size: int = BLOCK_SIZE) -> np.nda
     return cs - base_per_block[blk]
 
 
-# --- Spark-facing decoders (exhaustive query path) ---------------------------
+# --- Spark-facing decoder (exhaustive query path) ----------------------------
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def vb_decode_docids_udf(payload: pd.Series) -> pd.Series:
-    """Full-payload docID decode honoring per-block delta restarts."""
-    return payload.map(
-        lambda b: vb_decode_docids_blocked(b).astype(np.int64).tolist()
-    )
+def decode_postings_map():
+    """mapInArrow factory: (term, doc_ids_vb, tfs_vb, doclens_vb) rows ->
+    exploded (term, doc_id, tf, doclen) posting rows.
 
+    r6: replaces the former pair of list-returning pandas UDFs + JVM
+    ``explode(arrays_zip(...))`` — that shape round-tripped every payload
+    through Arrow TWICE (decode out, exploded lists back) and
+    materialized each decoded list as Python objects. Here the numpy
+    decode output feeds the output RecordBatch directly (term strings
+    repeated via one vectorized take), zero per-posting Python."""
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def vb_decode_raw_udf(payload: pd.Series) -> pd.Series:
-    return payload.map(lambda b: vb_decode(b).astype(np.int64).tolist())
+    def fn(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
+            terms = rb.column(idx["term"])
+            ids_col = rb.column(idx["doc_ids_vb"])
+            tfs_col = rb.column(idx["tfs_vb"])
+            dls_col = rb.column(idx["doclens_vb"])
+            ids_parts, tfs_parts, dls_parts, counts = [], [], [], []
+            for i in range(rb.num_rows):
+                ids = vb_decode_docids_blocked(
+                    ids_col[i].as_py()).astype(np.int64)
+                ids_parts.append(ids)
+                tfs_parts.append(vb_decode(tfs_col[i].as_py()).astype(np.int64))
+                dls_parts.append(vb_decode(dls_col[i].as_py()).astype(np.int64))
+                counts.append(ids.size)
+            if not counts:
+                continue
+            rep = np.repeat(np.arange(len(counts)), counts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    terms.take(pa.array(rep)),
+                    pa.array(np.concatenate(ids_parts), pa.int64()),
+                    pa.array(np.concatenate(tfs_parts), pa.int64()),
+                    pa.array(np.concatenate(dls_parts), pa.int64()),
+                ],
+                names=["term", "doc_id", "tf", "doclen"],
+            )
+
+    return fn

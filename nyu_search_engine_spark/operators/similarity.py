@@ -51,7 +51,10 @@ def cosine_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col("id") != exclude_id)
     topk = scored.orderBy(F.desc("cosine"), "id").limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), "id")
+    # single-partition window over the <= k post-limit rows: WindowExec's
+    # "No Partition Defined" warning is accurate and benign here (bounded
+    # k rows by construction; a foldable lit(0) key folds away anyway)
+    w = Window.orderBy(F.desc("cosine"), "id")
     return topk.select(F.row_number().over(w).alias("rank"), "id", "cosine")
 
 
@@ -160,7 +163,10 @@ def lsh_topk_indexed(
     if exclude_id is not None:
         scored = scored.filter(F.col("id") != exclude_id)
     topk = scored.orderBy(F.desc("cosine"), "id").limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), "id")
+    # single-partition window over the <= k post-limit rows: WindowExec's
+    # "No Partition Defined" warning is accurate and benign here (bounded
+    # k rows by construction; a foldable lit(0) key folds away anyway)
+    w = Window.orderBy(F.desc("cosine"), "id")
     return topk.select(F.row_number().over(w).alias("rank"), "id", "cosine")
 
 
@@ -270,7 +276,10 @@ def ivf_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col("id") != exclude_id)
     out = scored.orderBy(F.desc("cosine"), "id").limit(topk)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), "id")
+    # single-partition window over the <= k post-limit rows: WindowExec's
+    # "No Partition Defined" warning is accurate and benign here (bounded
+    # k rows by construction; a foldable lit(0) key folds away anyway)
+    w = Window.orderBy(F.desc("cosine"), "id")
     return out.select(F.row_number().over(w).alias("rank"), "id", "cosine")
 
 
@@ -296,5 +305,8 @@ def lsh_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col("id") != exclude_id)
     topk = scored.orderBy(F.desc("cosine"), "id").limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), "id")
+    # single-partition window over the <= k post-limit rows: WindowExec's
+    # "No Partition Defined" warning is accurate and benign here (bounded
+    # k rows by construction; a foldable lit(0) key folds away anyway)
+    w = Window.orderBy(F.desc("cosine"), "id")
     return topk.select(F.row_number().over(w).alias("rank"), "id", "cosine")

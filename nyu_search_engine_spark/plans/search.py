@@ -56,9 +56,15 @@ class Query:
 
 
 def _rank_window() -> Window:
-    # constant partition key: same single-partition semantics over <= k
-    # rows, without WindowExec's empty-partition-spec warning
-    return Window.partitionBy(F.lit(0)).orderBy(
+    # Window over the <= k post-limit rows. Catalyst constant-folds any
+    # foldable partition key to an empty spec, so WindowExec's "No
+    # Partition Defined" warning is unavoidable in the lazy form — and
+    # HONEST: all rows do move to one partition, which is exactly k rows
+    # by construction (bounded, benign). Kept lazy so the plan-shape
+    # tests can see the TakeOrderedAndProject + Arrow tokenizer nodes;
+    # the latency-critical index path ranks driver-side instead
+    # (plans/search_index.py _rank).
+    return Window.orderBy(
         F.desc("score"), F.col("repo"), F.col("path"), F.col("commit")
     )
 

@@ -11,15 +11,22 @@ Spark-first lifecycle:
  2. prune: postings scan with term IN (...) — predicate pushdown + files
     sorted by (shard, term) give row-group skipping; only the query terms'
     bytes are read (the Spark analogue of lexicon-directed seeks).
- 3a. exhaustive path: vb-decode UDFs -> explode -> column-expression BM25
-     -> hash agg with a deterministic rarest-first fold -> TakeOrdered(k).
+ 3a. exhaustive path: one mapInArrow decode+explode -> column-expression
+     BM25 -> hash agg with a deterministic rarest-first fold ->
+     TakeOrdered(k).
  3b. pruned path: groupBy(shard).applyInPandas(DAAT/BMW kernel) -> per-
      shard top-k -> global TakeOrdered(k) over n_shards*k candidate rows.
- 4. decorate: collect the bounded top-k (<= n_queries*k rows — the same
-    rows a broadcast would ship anyway), push its doc_id set into the
-    docs Parquet scan as an IN filter (doc_id-range-ordered files =>
-    row-group min/max skipping: a point lookup over a potentially
-    10^12-row table), then BroadcastHashJoin the recreated top-k.
+ 3c. rank: the terminal TakeOrderedAndProject merges per-partition numpy
+     heaps on the DRIVER (the reference's size-k heap merge); rank is a
+     driver enumeration and the result is recreated as a VALUES-literal
+     LocalRelation — queries execute EAGERLY inside search()/search_batch
+     (one Spark stage less than the former lazy Window form; see the
+     search() docstring).
+ 4. decorate: the bounded top-k rows are already on the driver; their
+    doc_id set is pushed into the docs Parquet scan as an IN filter
+    (doc_id-range-ordered files => row-group min/max skipping: a point
+    lookup over a potentially 10^12-row table), then BroadcastHashJoin
+    the recreated top-k.
 
 Paths 3a and 3b are rank-identical by construction (pytest-enforced).
 """
@@ -32,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import idf_np, score_col
-from ..functions.varbyte import vb_decode_docids_udf, vb_decode_raw_udf
+from ..functions.varbyte import decode_postings_map
 from ..operators.daat import TermSlice, shard_topk_and, shard_topk_or
 from ..sources import index_io
 from .search import Query
@@ -222,19 +229,15 @@ class IndexSearcher:
         meta = self.spark.createDataFrame(
             [(t, df) for t, df, _ in planned], "term string, df long"
         )
-        rows = self.postings.filter(F.col("term").isin(terms)).select(
-            "term",
-            vb_decode_docids_udf("doc_ids_vb").alias("ids"),
-            vb_decode_raw_udf("tfs_vb").alias("tfs"),
-            vb_decode_raw_udf("doclens_vb").alias("dls"),
-        )
-        expl = rows.select(
-            "term", F.explode(F.arrays_zip("ids", "tfs", "dls")).alias("p")
-        ).select(
-            "term",
-            F.col("p.ids").alias("doc_id"),
-            F.col("p.tfs").alias("tf"),
-            F.col("p.dls").alias("doclen"),
+        # r6: one mapInArrow decodes AND explodes (term, doc_id, tf,
+        # doclen) posting rows — the former two list-returning pandas
+        # UDFs + explode(arrays_zip(...)) crossed the Arrow boundary
+        # twice per payload and built Python lists per posting
+        expl = self.postings.filter(F.col("term").isin(terms)).select(
+            "term", "doc_ids_vb", "tfs_vb", "doclens_vb"
+        ).mapInArrow(
+            decode_postings_map(),
+            "term string, doc_id long, tf long, doclen long",
         )
         scored = expl.join(F.broadcast(meta), "term").withColumn(
             "partial",

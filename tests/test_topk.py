@@ -127,3 +127,29 @@ def test_driver_lexicon_buffer_probe_unit():
     assert {t: lex2.get(t) for t in srt[2:]} == {
         t: dict(zip(terms, dfs_v))[t] for t in srt[2:]}
     assert lex2.get(srt[0]) is None
+
+
+def test_decorated_results_survive_composition(searcher):
+    """search() executes eagerly and returns a recreated frame (r6 public
+    docstring); callers must be able to keep composing on it."""
+    from pyspark.sql import functions as F
+
+    from nyu_search_engine_spark.plans.search import Query
+
+    df = searcher.search(Query(("hotterm0",), "OR", 5), "pruned",
+                         decorate=True)
+    out = (df.filter(F.col("rank") <= 3)
+             .select("rank", "doc_id", "repo")
+             .orderBy("rank").collect())
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["repo"] for r in out)
+
+
+def test_undecorated_results_survive_composition(searcher):
+    from pyspark.sql import functions as F
+
+    from nyu_search_engine_spark.plans.search import Query
+
+    df = searcher.search(Query(("hotterm0",), "OR", 5), "pruned",
+                         decorate=False)
+    assert df.filter(F.col("rank") == 1).count() == 1
