@@ -225,6 +225,12 @@ class IndexSearcher:
     # --- path 3a: exhaustive decode + hash agg --------------------------------
 
     def _exhaustive(self, planned, query: Query) -> DataFrame:
+        return self._rank(self._exhaustive_scored(planned, query), query.k)
+
+    def _exhaustive_scored(self, planned, query: Query) -> DataFrame:
+        """The lazy pre-rank (doc_id, score) frame — exposed separately so
+        plan audits (tests, plans/r06) can explain the kernel subplan,
+        which the eager ranked result no longer shows."""
         terms = [t for t, _, _ in planned]
         meta = self.spark.createDataFrame(
             [(t, df) for t, df, _ in planned], "term string, df long"
@@ -257,11 +263,18 @@ class IndexSearcher:
         )
         if query.mode == "AND":
             per_doc = per_doc.filter(F.col("n_terms") == len(planned))
-        return self._rank(per_doc.select("doc_id", "score"), query.k)
+        return per_doc.select("doc_id", "score")
 
     # --- path 3b: per-shard DAAT/BMW kernel ------------------------------------
 
     def _pruned(self, planned, query: Query, and_bounds: bool = True) -> DataFrame:
+        return self._rank(
+            self._pruned_scored(planned, query, and_bounds), query.k
+        )
+
+    def _pruned_scored(self, planned, query: Query,
+                       and_bounds: bool = True) -> DataFrame:
+        """Lazy pre-rank per-shard candidate frame (see _exhaustive_scored)."""
         terms = [t for t, _, _ in planned]
         idf_by_term = {t: idf for t, _, idf in planned}
         order = [t for t, _, _ in planned]  # already rarest-first
@@ -289,14 +302,13 @@ class IndexSearcher:
             return pd.DataFrame({"doc_id": ids.astype("int64"),
                                  "score": scores.astype("float64")})
 
-        cand = (
+        return (
             self.postings.filter(F.col("term").isin(terms))
             .select("shard", "term", "max_tfn",
                     "doc_ids_vb", "tfs_vb", "doclens_vb", "blocks")
             .groupBy("shard")
             .applyInPandas(kernel, "doc_id long, score double")
         )
-        return self._rank(cand, query.k)
 
     # --- batched multi-query search (SURVEY §2.5/T3 batch form) ---------------
 

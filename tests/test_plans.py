@@ -76,7 +76,25 @@ def test_bruteforce_uses_arrow_udf_and_takeordered(corpus):
 
 
 def test_exhaustive_path_has_no_per_row_python(searcher):
-    df = searcher.search(Query(("rareterm00", "hotterm0"), "OR"),
-                         "exhaustive", decorate=False)
+    """The eager public result is a local relation; audit the lazy
+    pre-rank subplan (the part that actually runs on the cluster)."""
+    q = Query(("rareterm00", "hotterm0"), "OR")
+    df = searcher._exhaustive_scored(searcher.plan_terms(q), q)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+    assert "MapInArrow" in plan  # fused decode+explode kernel (r6)
+    assert "ArrowEvalPython" not in plan  # former decode-UDF pair is gone
+    assert "Generate" not in plan  # former explode(arrays_zip) is gone
+
+
+def test_pruned_subplan_shape(searcher):
+    """Pruned kernel subplan: term-IN pushdown feeds ONE exchange into the
+    per-shard applyInPandas kernel — no extra shuffles."""
+    q = Query(("rareterm00", "hotterm0"), "OR")
+    df = searcher._pruned_scored(searcher.plan_terms(q), q)
+    plan = _plan(df)
+    assert "In(term" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly one exchange node in the tree (the formatted detail section
+    # repeats the operator name, so count tree-edge occurrences)
+    assert plan.count("+- Exchange") == 1
