@@ -408,8 +408,33 @@ class IndexSearcher:
     def _batch_topk(
         self, qplans: dict[int, tuple[str, int, list[tuple[str, float]]]]
     ) -> DataFrame:
-        """One scan + per-shard multi-query kernel + per-query window
-        top-k over the given query plans."""
+        """One scan + per-shard multi-query kernel, then per-query rank
+        merged driver-side over the bounded candidates."""
+        cand = self._batch_cand(qplans)
+        # r6: per-query rank assigned driver-side over the collected
+        # candidates — bounded at n_queries_in_chunk * n_shards * k rows
+        # (each shard kernel already top-k's per query). Replaces a
+        # Window(query_id) + broadcast-join(k) tail: one exchange, a
+        # window stage and a createDataFrame round-trip per chunk gone.
+        rows = cand.collect()
+        by_qid: dict[int, list] = {}
+        for r in rows:
+            by_qid.setdefault(r["query_id"], []).append(r)
+        qids, out = [], []
+        for qid, (_, k, _) in qplans.items():
+            got = by_qid.get(qid)
+            if not got:
+                continue
+            got.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            for i, r in enumerate(got[:k]):
+                qids.append(int(qid))
+                out.append((i + 1, int(r["doc_id"]), float(r["score"])))
+        return self._ranked_local(out, qids=qids)
+
+    def _batch_cand(
+        self, qplans: dict[int, tuple[str, int, list[tuple[str, float]]]]
+    ) -> DataFrame:
+        """Lazy multi-query per-shard candidate frame (plan-audit seam)."""
         scan_terms = sorted({t for _, _, tl in qplans.values() for t, _ in tl})
         avgdl = self.avgdl
 
@@ -445,32 +470,13 @@ class IndexSearcher:
                 "score": np.concatenate([o[2] for o in out]),
             })
 
-        cand = (
+        return (
             self.postings.filter(F.col("term").isin(scan_terms))
             .select("shard", "term", "max_tfn",
                     "doc_ids_vb", "tfs_vb", "doclens_vb", "blocks")
             .groupBy("shard")
             .applyInPandas(kernel, "query_id long, doc_id long, score double")
         )
-        # r6: per-query rank assigned driver-side over the collected
-        # candidates — bounded at n_queries_in_chunk * n_shards * k rows
-        # (each shard kernel already top-k's per query). Replaces a
-        # Window(query_id) + broadcast-join(k) tail: one exchange, a
-        # window stage and a createDataFrame round-trip per chunk gone.
-        rows = cand.collect()
-        by_qid: dict[int, list] = {}
-        for r in rows:
-            by_qid.setdefault(r["query_id"], []).append(r)
-        qids, out = [], []
-        for qid, (_, k, _) in qplans.items():
-            got = by_qid.get(qid)
-            if not got:
-                continue
-            got.sort(key=lambda r: (-r["score"], r["doc_id"]))
-            for i, r in enumerate(got[:k]):
-                qids.append(int(qid))
-                out.append((i + 1, int(r["doc_id"]), float(r["score"])))
-        return self._ranked_local(out, qids=qids)
 
     # --- shared tail ------------------------------------------------------------
 
