@@ -440,20 +440,19 @@ def build_index(
     # Tokenizer selection (measured — BENCH/TOKENIZER_AB_{100k,500k,1M}.md,
     # interleaved fresh-JVM trials on identical parquet input; all three
     # arms build byte-identical indexes, test_tokenizer.py):
-    #   * "jvm_tf" (pure column expressions, zero Python) wins at scale:
-    #     1.15x arrow at 500k docs (6.4k vs 5.6k docs/s), 1.56x at 1M
-    #     (4.3k vs 2.7k) — the Arrow serialize/python/deserialize boundary
-    #     is the docs-stage bottleneck once the corpus outgrows the page
-    #     cache.
-    #   * "arrow" (fused pandas UDF) is ~7% faster at 100k docs.
+    #   * "arrow" is since r6 the byte-level vectorized mapInArrow batch
+    #     kernel (functions/tokenize.py tokenize_tf_batch) and wins at
+    #     EVERY measured size: 1.9x jvm_tf at 500k docs (9.6k vs 5.1k
+    #     docs/s) and ~2x at 1M (13-21k vs 7.8k) — the r5 crossover
+    #     (where jvm_tf won past ~250k because the per-doc pandas UDF
+    #     paid the Python loop + object-list return) no longer exists.
+    #   * "jvm_tf" (pure column expressions, zero Python) stays as the
+    #     explicit arm for Python-less deployments.
     #   * "jvm" (occurrence rows, tf counted in the assembly kernel) keeps
     #     a ~4x bigger tokenized cache (raw token streams) — it OOMed an
     #     8g heap at 1M docs; kept only for low-repetition corpora.
-    # "auto" switches arrow -> jvm_tf at the midpoint of the measured
-    # 100k-500k crossover bracket, using the corpus count the docID
-    # prefix-sum already produced (no extra job).
     if tokenizer == "auto":
-        tokenizer = "jvm_tf" if assignment.n_docs >= 250_000 else "arrow"
+        tokenizer = "arrow"
     metrics["tokenizer"] = tokenizer
     occurrences = tokenizer == "jvm"
     if occurrences:

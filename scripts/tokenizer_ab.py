@@ -184,7 +184,10 @@ def main() -> None:
 Three fused-tokenize strategies for the docs stage, measured end-to-end
 (full index build, fresh JVM per run, trials interleaved across variants):
 
-- **arrow** — pandas UDF fusing tokenize + tf (one (doc,term) row out)
+- **arrow** — mapInArrow batch kernel (r6): byte-level numpy tokenize +
+  dictionary-encoded tf counting, Arrow list output (one (doc,term) row
+  out). Before r6 this arm was a per-doc pandas UDF — those historical
+  numbers live in this file's git history.
 - **jvm_tf** — pure column expressions: array_sort + run-start diffs
   (one (doc,term) row out, zero Python)
 - **jvm** — codegen tokenize only; tf counting happens in the assembly
