@@ -232,9 +232,6 @@ class IndexSearcher:
         plan audits (tests, plans/r06) can explain the kernel subplan,
         which the eager ranked result no longer shows."""
         terms = [t for t, _, _ in planned]
-        meta = self.spark.createDataFrame(
-            [(t, df) for t, df, _ in planned], "term string, df long"
-        )
         # r6: one mapInArrow decodes AND explodes (term, doc_id, tf,
         # doclen) posting rows — the former two list-returning pandas
         # UDFs + explode(arrays_zip(...)) crossed the Arrow boundary
@@ -245,7 +242,16 @@ class IndexSearcher:
             decode_postings_map(),
             "term string, doc_id long, tf long, doclen long",
         )
-        scored = expl.join(F.broadcast(meta), "term").withColumn(
+        # r6: per-term df attached as a LITERAL map lookup — the values
+        # are driver-known from the lexicon probe, and the former
+        # broadcast join of the |query-terms|-row meta frame paid a
+        # createDataFrame + BroadcastExchange build job per query
+        # (~0.2 s measured). Same df values -> bitwise-identical scores.
+        df_map = F.create_map(
+            *[x for t, d, _ in planned
+              for x in (F.lit(t), F.lit(int(d)).cast("long"))]
+        )
+        scored = expl.withColumn("df", df_map[F.col("term")]).withColumn(
             "partial",
             score_col(F.col("tf"), F.col("doclen"), F.col("df"),
                       self.n_docs, self.avgdl),
